@@ -1,0 +1,175 @@
+"""Histogram ops: percentile stretch, Otsu thresholding, CLAHE.
+
+TPU-native replacements for cv2.createCLAHE (fingerprint_preprocess.py:25-29,
+46-47, 97-98) and skimage.threshold_otsu (fingerprint_preprocess.py:68, 100).
+
+Design: all histograms are built with scatter-adds into (..., 256) tensors so
+every op is batched and jit-able; CLAHE is the classic tile-histogram +
+clip/redistribute + bilinear-LUT-blend algorithm on a fixed tile grid.
+Images are float32 in [0, 1] throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NBINS = 256
+
+
+def _to_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float -> integer bin index 0..255."""
+    return jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.int32)
+
+
+def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-row 256-bin histogram. values: (..., N) int32 in [0,255].
+
+    Returns (..., 256) float32 counts.
+    """
+    lead = values.shape[:-1]
+    n = values.shape[-1]
+    b = 1
+    for d in lead:
+        b *= d
+    v = values.reshape(b, n)
+    w = jnp.ones_like(v, dtype=jnp.float32) if weights is None else (
+        weights.reshape(b, n).astype(jnp.float32))
+    row = jnp.arange(b, dtype=jnp.int32)[:, None]
+    flat_idx = (row * NBINS + v).reshape(-1)
+    hist = jnp.zeros((b * NBINS,), jnp.float32).at[flat_idx].add(w.reshape(-1))
+    return hist.reshape(lead + (NBINS,))
+
+
+def percentile_stretch(x: jnp.ndarray, p_low: float = 0.5, p_high: float = 99.5,
+                       axes: tuple[int, ...] = (-2, -1)) -> jnp.ndarray:
+    """Percentile contrast stretch to [0,1]
+    (reference normalize_image, fingerprint_preprocess.py:20)."""
+    lo = jnp.percentile(x, p_low, axis=axes, keepdims=True)
+    hi = jnp.percentile(x, p_high, axis=axes, keepdims=True)
+    return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-8), 0.0, 1.0)
+
+
+def _otsu_from_hist(hist: jnp.ndarray) -> jnp.ndarray:
+    """Otsu threshold (bin index, float) from (..., 256) histograms.
+
+    Vectorized inter-class-variance argmax; returns the bin value such that
+    foreground = pixels with value > threshold (skimage convention).
+    """
+    p = hist / jnp.maximum(jnp.sum(hist, axis=-1, keepdims=True), 1e-8)
+    bins = jnp.arange(NBINS, dtype=jnp.float32)
+    omega = jnp.cumsum(p, axis=-1)
+    mu = jnp.cumsum(p * bins, axis=-1)
+    mu_t = mu[..., -1:]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 1e-8, (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-8), 0.0)
+    return jnp.argmax(sigma_b, axis=-1).astype(jnp.float32)
+
+
+def otsu_threshold(x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Global Otsu threshold in [0,1] over the trailing two dims."""
+    lead = x.shape[:-2]
+    v = _to_u8(x).reshape(lead + (-1,))
+    w = None if mask is None else mask.reshape(lead + (-1,))
+    hist = histogram256(v, w)
+    return _otsu_from_hist(hist) / 255.0
+
+
+def otsu_threshold_patchwise(x: jnp.ndarray, patch: int,
+                             mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-patch Otsu thresholds over a (patch x patch) grid.
+
+    Replaces the reference's per-32x32-patch Python loop
+    (fingerprint_preprocess.py:60-71). x: (..., H, W) with H, W divisible by
+    ``patch``. Returns per-pixel thresholds (..., H, W) (each patch constant).
+    """
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    gh, gw = h // patch, w // patch
+    v = _to_u8(x).reshape(lead + (gh, patch, gw, patch))
+    v = jnp.swapaxes(v, -3, -2).reshape(lead + (gh, gw, patch * patch))
+    wts = None
+    if mask is not None:
+        m = mask.reshape(lead + (gh, patch, gw, patch))
+        wts = jnp.swapaxes(m, -3, -2).reshape(lead + (gh, gw, patch * patch))
+    hist = histogram256(v, wts)
+    thr = _otsu_from_hist(hist) / 255.0  # (..., gh, gw)
+    thr = jnp.repeat(jnp.repeat(thr, patch, axis=-1), patch, axis=-2)
+    return thr
+
+
+def equalize_hist(x: jnp.ndarray) -> jnp.ndarray:
+    """Global histogram equalization over trailing two dims."""
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    v = _to_u8(x).reshape(lead + (-1,))
+    hist = histogram256(v)
+    cdf = jnp.cumsum(hist, axis=-1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], 1.0)
+    flat = jnp.take_along_axis(cdf, v, axis=-1)
+    return flat.reshape(lead + (h, w))
+
+
+def clahe(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization.
+
+    OpenCV-compatible algorithm (cv2.createCLAHE(clipLimit, (grid, grid)),
+    fingerprint_preprocess.py:25-29): per-tile 256-bin histogram, clip at
+    ``clip_limit * tile_area / 256`` with even redistribution of the excess,
+    per-tile CDF LUT, then bilinear interpolation between the four
+    neighboring tile LUTs at each pixel.
+
+    x: (..., H, W) float32 in [0,1], H and W divisible by ``grid``.
+    """
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    th = h // grid
+    tw = w // grid
+    tile_area = th * tw
+
+    v = _to_u8(x)
+    tiles = v.reshape(lead + (grid, th, grid, tw))
+    tiles = jnp.swapaxes(tiles, -3, -2).reshape(lead + (grid, grid, tile_area))
+    hist = histogram256(tiles)  # (..., grid, grid, 256)
+
+    # OpenCV truncates the clip limit to an integer (clahe.cpp):
+    # limit = max(int(clipLimit * tileArea / 256), 1).
+    limit = max(float(int(clip_limit * tile_area / NBINS)), 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / NBINS
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    scale = (NBINS - 1.0) / tile_area
+    lut = jnp.clip(jnp.round(cdf * scale), 0, 255)  # (..., grid, grid, 256)
+
+    # Bilinear blend between tile-center LUTs (OpenCV convention:
+    # tile coordinate = pixel / tile_size - 0.5).
+    yy = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    xx = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy), 0, grid - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xx), 0, grid - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, grid - 1)
+    x1 = jnp.minimum(x0 + 1, grid - 1)
+    wy = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
+    wy = jnp.where(yy < 0, 0.0, jnp.where(yy > grid - 1, 1.0, wy))[:, None]
+    wx = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)
+    wx = jnp.where(xx < 0, 0.0, jnp.where(xx > grid - 1, 1.0, wx))[None, :]
+
+    lut_flat = lut.reshape(lead + (grid * grid * NBINS,))
+
+    def gather(ty, tx):
+        idx = (ty[:, None] * grid + tx[None, :]) * NBINS + v  # (..., H, W)
+        return jnp.take_along_axis(
+            lut_flat, idx.reshape(lead + (-1,)), axis=-1
+        ).reshape(lead + (h, w))
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    out = top * (1 - wy) + bot * wy
+    return out / 255.0

@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device topology so the multi-chip sharding
+paths compile and execute without TPU hardware (the standard JAX recipe:
+``xla_force_host_platform_device_count``).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def rng():
+    # Function-scoped so every test sees the same stream regardless of order.
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def synthetic_fingerprint():
+    """A synthetic ridge-pattern 'fingerprint': concentric sinusoidal ridges
+    under an elliptical mask, with mild noise. Shape (320, 256), float32 [0,1].
+    """
+    h, w = 320, 256
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = h / 2.0, w / 2.0
+    r = np.sqrt(((yy - cy) / 1.1) ** 2 + (xx - cx) ** 2)
+    ridges = 0.5 + 0.5 * np.cos(r / 4.5)
+    ellipse = (((yy - cy) / (0.42 * h)) ** 2 + ((xx - cx) / (0.40 * w)) ** 2) < 1.0
+    noise = np.random.default_rng(0).normal(0, 0.03, (h, w)).astype(np.float32)
+    img = np.where(ellipse, 1.0 - 0.8 * ridges, 0.95) + noise
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
