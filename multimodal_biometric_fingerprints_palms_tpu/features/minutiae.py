@@ -1,0 +1,143 @@
+"""Crossing-number minutiae extraction.
+
+TPU-native rebuild of src/features/extract_features.py:38-69. The
+reference's per-skeleton-pixel Python loop becomes a dense stencil: the
+crossing number CN = 1/2 * sum |P[i] - P[i+1]| over the 8-neighbor ring is
+computed for every pixel at once from eight shifted views, then the (at
+most K) candidate pixels are compacted into fixed-size arrays in row-major
+order with a cumulative-sum scatter — static shapes end to end.
+
+Minutiae sets are padded to K=64 with a validity mask (the reference caps
+at 60, post_processing.py:135), making every downstream matching op a
+(K, K)-shaped dense computation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MinutiaeSet(NamedTuple):
+    """Fixed-K minutiae, mirroring the reference's (N, 7) matrix layout
+    (match_features.py:52-64): columns xy, type, orientation, quality,
+    coherence, angular_stability, plus a validity mask."""
+    xy: jnp.ndarray                  # (..., K, 2) float32 (x, y)
+    minutia_type: jnp.ndarray        # (..., K) int32: 0=ending, 1=bifurcation
+    orientation: jnp.ndarray         # (..., K) float32
+    quality: jnp.ndarray             # (..., K) float32
+    coherence: jnp.ndarray           # (..., K) float32
+    angular_stability: jnp.ndarray   # (..., K) float32
+    valid: jnp.ndarray               # (..., K) bool
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+    def as_matrix(self) -> jnp.ndarray:
+        """(..., K, 7) matrix in the reference column order."""
+        return jnp.concatenate([
+            self.xy,
+            self.minutia_type[..., None].astype(jnp.float32),
+            self.orientation[..., None],
+            self.quality[..., None],
+            self.coherence[..., None],
+            self.angular_stability[..., None],
+        ], axis=-1)
+
+
+def from_matrix(mat: jnp.ndarray, valid: jnp.ndarray) -> MinutiaeSet:
+    """Build a MinutiaeSet from the reference (…, K, 7) matrix layout."""
+    return MinutiaeSet(
+        xy=mat[..., :2].astype(jnp.float32),
+        minutia_type=mat[..., 2].astype(jnp.int32),
+        orientation=mat[..., 3].astype(jnp.float32),
+        quality=mat[..., 4].astype(jnp.float32),
+        coherence=mat[..., 5].astype(jnp.float32),
+        angular_stability=mat[..., 6].astype(jnp.float32),
+        valid=valid.astype(bool),
+    )
+
+
+def crossing_number(skel: jnp.ndarray) -> jnp.ndarray:
+    """CN map over (..., H, W) boolean skeletons (extract_features.py:53-58)."""
+    sk = skel.astype(jnp.int32)
+    pad = jnp.pad(sk, [(0, 0)] * (sk.ndim - 2) + [(1, 1), (1, 1)])
+    h, w = sk.shape[-2:]
+
+    def sh(dy, dx):
+        return pad[..., 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    # Reference ring order: E, NE, N, NW, W, SW, S, SE (:53-57).
+    ring = [sh(0, 1), sh(-1, 1), sh(-1, 0), sh(-1, -1),
+            sh(0, -1), sh(1, -1), sh(1, 0), sh(1, 1)]
+    cn = jnp.zeros_like(sk)
+    for i in range(8):
+        cn = cn + jnp.abs(ring[i] - ring[(i + 1) % 8])
+    return cn // 2
+
+
+def extract_minutiae(skel: jnp.ndarray, k: int = 64) -> MinutiaeSet:
+    """Extract up to ``k`` minutiae per image from (..., H, W) skeletons.
+
+    Candidates: skeleton pixels with CN == 1 (ending) or CN == 3
+    (bifurcation); border pixels excluded (extract_features.py:50). Taken in
+    row-major order (the reference's np.where iteration order). Quality
+    fields are zero-initialized; `postprocess_minutiae` fills them.
+    """
+    sk = skel.astype(bool)
+    h, w = sk.shape[-2:]
+    lead = sk.shape[:-2]
+
+    cn = crossing_number(sk)
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    interior = (ys >= 1) & (ys <= h - 2) & (xs >= 1) & (xs <= w - 2)
+    cand = sk & interior & ((cn == 1) | (cn == 3))
+    is_bif = (cn == 3).astype(jnp.int32)
+
+    flat = cand.reshape(lead + (-1,))
+    order = jnp.cumsum(flat.astype(jnp.int32), axis=-1) - 1  # slot per candidate
+    slot = jnp.where(flat & (order < k), order, k)           # k = dump slot
+
+    b = 1
+    for d in lead:
+        b *= d
+    slot2 = slot.reshape(b, h * w)
+    row = jnp.arange(b, dtype=jnp.int32)[:, None]
+    scat = (row * (k + 1) + slot2).reshape(-1)
+
+    yy = jnp.broadcast_to(ys, (h, w)).reshape(-1)
+    xx = jnp.broadcast_to(xs, (h, w)).reshape(-1)
+    yy = jnp.broadcast_to(yy, (b, h * w)).reshape(-1)
+    xx = jnp.broadcast_to(xx, (b, h * w)).reshape(-1)
+    types_flat = is_bif.reshape(b, h * w).reshape(-1)
+
+    def scatter(vals):
+        out = jnp.zeros((b * (k + 1),), vals.dtype)
+        return out.at[scat].set(vals).reshape(b, k + 1)[:, :k]
+
+    out_x = scatter(xx)
+    out_y = scatter(yy)
+    out_t = scatter(types_flat)
+
+    count = jnp.sum(flat.astype(jnp.int32), axis=-1).reshape(b, 1)
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < jnp.minimum(count, k)
+
+    zeros = jnp.zeros((b, k), jnp.float32)
+    ms = MinutiaeSet(
+        xy=jnp.stack([out_x, out_y], axis=-1).astype(jnp.float32),
+        minutia_type=out_t.astype(jnp.int32),
+        orientation=zeros,
+        quality=zeros,
+        coherence=zeros,
+        angular_stability=zeros,
+        valid=valid,
+    )
+    if lead:
+        ms = jax.tree.map(lambda a: a.reshape(lead + a.shape[1:]), ms)
+    else:
+        ms = jax.tree.map(lambda a: a.reshape(a.shape[1:]), ms)
+    return ms

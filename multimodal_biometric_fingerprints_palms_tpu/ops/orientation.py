@@ -5,8 +5,17 @@ structure-tensor method. The reference's per-16x16-block reliability-weighted
 circular mean is a double Python loop (orientation.py:52-72, a flagged hot
 spot); here it is a reshape-reduce over (H/bs, bs, W/bs, bs), fully batched.
 
-Returns (block_orientation, pixel_orientation, pixel_reliability), angles in
-[-pi/2, pi/2) as in the reference (:81-83).
+Semantics tracked from the reference:
+- polarity auto-invert when above-median pixels are brighter than
+  below-median ones (orientation.py:26-28)
+- pre-smooth sigma = max(0.5, smooth_sigma / 2) (:30)
+- reliability = |anisotropy| percentile-clipped at [2, 98] (:40-42)
+- per-pixel theta = 1/2 atan2(2Gxy, Gxx - Gyy) + pi/2 (:44-45)
+- blocks failing the 0.3 mask-coverage gate stay 0 (:57-61)
+- block field smoothed in the (sin 2t, cos 2t) domain (:75-79)
+- pixel maps = bilinear upsample of the block fields; the returned
+  reliability is the upsampled block-mean reliability (:81-82), and the
+  orientation is wrapped to [-pi/2, pi/2) (:83)
 """
 
 from __future__ import annotations
@@ -22,8 +31,9 @@ from .filters import gaussian_blur, sobel
 class OrientationField(NamedTuple):
     block_orientation: jnp.ndarray   # (..., H/bs, W/bs)
     block_valid: jnp.ndarray         # (..., H/bs, W/bs) bool
-    orientation: jnp.ndarray         # (..., H, W)
-    reliability: jnp.ndarray         # (..., H, W) in [0,1]
+    orientation: jnp.ndarray         # (..., H, W), [-pi/2, pi/2)
+    reliability: jnp.ndarray         # (..., H, W) in [0,1] (block-mean, upsampled)
+    pixel_reliability: jnp.ndarray   # (..., H, W) raw per-pixel reliability
 
 
 def _block_reduce_sum(x: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -37,70 +47,68 @@ def compute_orientation_field(
     img: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     block_size: int = 16,
-    tensor_sigma: float = 3.0,
-    pre_sigma: float = 1.0,
+    smooth_sigma: float = 3.0,
+    smooth_orientation_sigma: float = 3.0,
     coverage_gate: float = 0.3,
     reliability_clip: tuple[float, float] = (2.0, 98.0),
-    block_smooth_sigma: float = 1.0,
-    auto_invert: bool = True,
+    invert_if_needed: bool = True,
 ) -> OrientationField:
     """Structure-tensor orientation field over (..., H, W) in [0,1].
 
     H and W must be divisible by ``block_size``.
     """
-    x = img.astype(jnp.float32)
-    if mask is None:
-        mask = jnp.ones_like(x, dtype=bool)
-    m = mask.astype(jnp.float32)
+    f = img.astype(jnp.float32)
 
-    if auto_invert:
-        # Ridges should be dark; invert when the masked mean is bright
-        # (reference polarity auto-invert, orientation.py:26-28).
-        mean = jnp.sum(x * m, axis=(-2, -1), keepdims=True) / jnp.maximum(
-            jnp.sum(m, axis=(-2, -1), keepdims=True), 1.0)
-        x = jnp.where(mean > 0.5, 1.0 - x, x)
+    if invert_if_needed:
+        med = jnp.median(f, axis=(-2, -1), keepdims=True)
+        above = jnp.sum(jnp.where(f > med, f, 0.0), axis=(-2, -1), keepdims=True)
+        n_above = jnp.sum(jnp.where(f > med, 1.0, 0.0), axis=(-2, -1), keepdims=True)
+        below = jnp.sum(jnp.where(f <= med, f, 0.0), axis=(-2, -1), keepdims=True)
+        n_below = jnp.sum(jnp.where(f <= med, 1.0, 0.0), axis=(-2, -1), keepdims=True)
+        invert = (above / jnp.maximum(n_above, 1.0)) > (below / jnp.maximum(n_below, 1.0))
+        f = jnp.where(invert, 1.0 - f, f)
 
-    xs = gaussian_blur(x, pre_sigma)
-    gx, gy = sobel(xs)
-    gxx = gaussian_blur(gx * gx, tensor_sigma)
-    gyy = gaussian_blur(gy * gy, tensor_sigma)
-    gxy = gaussian_blur(gx * gy, tensor_sigma)
+    f_s = gaussian_blur(f, max(0.5, smooth_sigma / 2.0))
+    gx, gy = sobel(f_s, border="mirror")  # cv2.Sobel uses BORDER_REFLECT_101
+    gxx = gaussian_blur(gx * gx, smooth_sigma)
+    gyy = gaussian_blur(gy * gy, smooth_sigma)
+    gxy = gaussian_blur(gx * gy, smooth_sigma)
 
-    # Reliability: anisotropy magnitude, percentile-clipped to [0,1]
-    # (orientation.py:40-42).
-    coh = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
-    lo = jnp.percentile(coh, reliability_clip[0], axis=(-2, -1), keepdims=True)
-    hi = jnp.percentile(coh, reliability_clip[1], axis=(-2, -1), keepdims=True)
-    rel = jnp.clip((coh - lo) / jnp.maximum(hi - lo, 1e-8), 0.0, 1.0) * m
+    rel = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
+    lo = jnp.percentile(rel, reliability_clip[0], axis=(-2, -1), keepdims=True)
+    hi = jnp.percentile(rel, reliability_clip[1], axis=(-2, -1), keepdims=True)
+    rel = jnp.clip((rel - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
 
-    # Doubled-angle representation; theta = 1/2 atan2(2Gxy, Gxx-Gyy) + pi/2
-    # (orientation.py:44-45).
-    sin2 = 2.0 * gxy
-    cos2 = gxx - gyy
+    theta = 0.5 * jnp.arctan2(2.0 * gxy, (gxx - gyy) + 1e-12) + jnp.pi / 2.0
 
     # Reliability-weighted circular mean per block (vectorized :52-72).
     bs = block_size
-    wsin = _block_reduce_sum(rel * sin2, bs)
-    wcos = _block_reduce_sum(rel * cos2, bs)
-    coverage = _block_reduce_sum(m, bs) / float(bs * bs)
-    block_valid = coverage >= coverage_gate
+    w = rel + 1e-6
+    s_sum = _block_reduce_sum(w * jnp.sin(2.0 * theta), bs)
+    c_sum = _block_reduce_sum(w * jnp.cos(2.0 * theta), bs)
+    rel_mean = _block_reduce_sum(rel, bs) / float(bs * bs)
 
-    # Smooth the block field in the (sin, cos) domain (:75-79).
-    if block_smooth_sigma > 0:
-        wsin_s = gaussian_blur(wsin, block_smooth_sigma)
-        wcos_s = gaussian_blur(wcos, block_smooth_sigma)
+    if mask is not None:
+        coverage = _block_reduce_sum(mask.astype(jnp.float32), bs) / float(bs * bs)
+        block_valid = coverage >= coverage_gate
     else:
-        wsin_s, wcos_s = wsin, wcos
+        block_valid = jnp.ones(s_sum.shape, dtype=bool)
 
-    block_theta = 0.5 * jnp.arctan2(wsin_s, wcos_s) + jnp.pi / 2.0
-    block_theta = jnp.mod(block_theta + jnp.pi / 2.0, jnp.pi) - jnp.pi / 2.0
+    block_theta = jnp.where(block_valid, 0.5 * jnp.arctan2(s_sum, c_sum), 0.0)
+    rel_blocks = jnp.where(block_valid, rel_mean, 0.0)
 
-    # Bilinear upsample to pixels in the doubled-angle domain (:81-83).
-    lead = x.shape[:-2]
-    h, w = x.shape[-2:]
-    up_sin = jax.image.resize(jnp.sin(2.0 * block_theta), lead + (h, w), "bilinear")
-    up_cos = jax.image.resize(jnp.cos(2.0 * block_theta), lead + (h, w), "bilinear")
-    orient = 0.5 * jnp.arctan2(up_sin, up_cos)
+    # Directional smoothing of the block field (:75-79).
+    if smooth_orientation_sigma > 0:
+        sin2 = gaussian_blur(jnp.sin(2.0 * block_theta), smooth_orientation_sigma)
+        cos2 = gaussian_blur(jnp.cos(2.0 * block_theta), smooth_orientation_sigma)
+        block_theta = 0.5 * jnp.arctan2(sin2, cos2)
+
+    # Bilinear upsample of the block fields (:81-82); angles are resized
+    # directly, as in the reference.
+    lead = f.shape[:-2]
+    h, w_ = f.shape[-2:]
+    orient = jax.image.resize(block_theta, lead + (h, w_), "bilinear")
     orient = jnp.mod(orient + jnp.pi / 2.0, jnp.pi) - jnp.pi / 2.0
+    rel_img = jax.image.resize(rel_blocks, lead + (h, w_), "bilinear")
 
-    return OrientationField(block_theta, block_valid, orient, rel)
+    return OrientationField(block_theta, block_valid, orient, rel_img, rel)

@@ -1,0 +1,213 @@
+"""The enhancement chain — normalize → denoise → segment → binarize →
+orientation → anisotropic smooth → thin.
+
+TPU-native rebuild of src/preprocessing/fingerprint_preprocess.py:182-225.
+Every stage consumes and produces batched (..., H, W) float32 tensors in
+[0, 1]; the whole chain is one jit program (XLA fuses the elementwise work
+into the convs), and batches process in lockstep — replacing the reference's
+per-image ThreadPoolExecutor (run_preprocessing.py:154).
+
+Stage semantics track the reference exactly (values noted per stage); images
+stay full-frame with a foreground mask instead of the reference's per-image
+bbox crop (static shapes are what makes the batch jit-able — SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.filters import gaussian_blur, gaussian_blur_cv, box_filter, sobel
+from ..ops.histogram import (
+    percentile_stretch, clahe, otsu_threshold, otsu_threshold_patchwise,
+)
+from ..ops.denoise import nlm_denoise
+from ..ops.morphology import opening, closing, erode, dilate, reconstruction_by_dilation
+from ..ops.components import (
+    remove_small_objects, remove_small_holes, largest_component, convex_hull_mask,
+)
+from ..ops.skeleton import skeletonize, prune_isolated
+from ..ops.orientation import compute_orientation_field, OrientationField
+
+
+class EnhancementResult(NamedTuple):
+    """Stage images, mirroring the reference's returned dict
+    (fingerprint_preprocess.py:214-222)."""
+    normalized: jnp.ndarray   # [0,1]
+    denoised: jnp.ndarray     # [0,1]
+    segmented: jnp.ndarray    # [0,1], masked gray
+    mask: jnp.ndarray         # bool foreground
+    binary: jnp.ndarray       # bool ridges
+    skeleton: jnp.ndarray     # bool 1-px skeleton
+    orientation: jnp.ndarray  # [-pi/2, pi/2) pixel field
+    reliability: jnp.ndarray  # [0,1] upsampled block reliability
+
+
+def _quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Round through the uint8 grid, staying float (the reference converts
+    to uint8 between stages; quantization affects thresholds)."""
+    return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+
+
+def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    """Percentile stretch (0.5/99.5) + CLAHE clip 2.5 tile 8
+    (fingerprint_preprocess.py:13-29)."""
+    f = percentile_stretch(img, 0.5, 99.5)
+    return clahe(_quantize_u8(f), clip_limit=2.5, grid=8)
+
+
+def denoise_image(img: jnp.ndarray) -> jnp.ndarray:
+    """NLM (h=10, template 7, search 21) + 3x3 Gaussian sigma 0.6
+    (fingerprint_preprocess.py:34-38)."""
+    d = nlm_denoise(img, h=10.0, template_window=7, search_window=21)
+    return gaussian_blur_cv(d, ksize=3, sigma=0.6)
+
+
+def segment_fingerprint(img: jnp.ndarray, hull_directions: int = 90
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Classical segmentation: CLAHE 2.0 → 5x5 Gaussian → Otsu → polarity
+    fix → 15x15 ellipse close/open → largest component → convex hull
+    (fingerprint_preprocess.py:86-136).
+
+    Returns (segmented_gray, hull_mask). Full-frame (no bbox crop); the mask
+    carries the reference's crop information instead.
+    """
+    stab = clahe(_quantize_u8(img), clip_limit=2.0, grid=8)
+    blur = gaussian_blur_cv(stab, ksize=5, sigma=0.0)
+    thr = otsu_threshold(blur)[..., None, None]
+    mask = blur > thr
+
+    # Foreground should be the darker side (ridges are dark) (:103-104).
+    mf = mask.astype(jnp.float32)
+    mean_fg = jnp.sum(img * mf, axis=(-2, -1)) / jnp.maximum(
+        jnp.sum(mf, axis=(-2, -1)), 1.0)
+    mean_bg = jnp.sum(img * (1 - mf), axis=(-2, -1)) / jnp.maximum(
+        jnp.sum(1 - mf, axis=(-2, -1)), 1.0)
+    flip = (mean_fg > mean_bg)[..., None, None]
+    mask = jnp.where(flip, jnp.logical_not(mask), mask)
+
+    m = closing(mask.astype(jnp.float32), 15, shape="ellipse") > 0.5
+    m = opening(m.astype(jnp.float32), 15, shape="ellipse") > 0.5
+    m = largest_component(m)
+    hull = convex_hull_mask(m, n_directions=hull_directions)
+    # Empty mask -> all-ones (reference :113-118).
+    empty = jnp.logical_not(jnp.any(m, axis=(-2, -1), keepdims=True))
+    hull = jnp.logical_or(hull, empty)
+    return img * hull.astype(img.dtype), hull
+
+
+def binarize(img: jnp.ndarray) -> jnp.ndarray:
+    """Hybrid Sauvola + per-patch-Otsu binarization
+    (fingerprint_preprocess.py:43-81).
+
+    CLAHE 2.5 → adaptive Sauvola with spatially varying k-map
+    k·(1 − 0.5·std_n) → per-32x32 Otsu OR-refinement (patch std gate 3/255)
+    → small-object/hole cleanup → 3x3 ellipse open → erode-marker geodesic
+    reconstruction. The formula T = m·(1 − k_map·(1 − s/m)) is
+    scale-invariant, so it transfers unchanged to [0,1].
+    """
+    img_eq = clahe(_quantize_u8(img), clip_limit=2.5, grid=8)
+
+    win, k = 25, 0.25
+    mean = box_filter(img_eq, win)
+    sqmean = box_filter(img_eq * img_eq, win)
+    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
+    std_n = std / (jnp.max(std, axis=(-2, -1), keepdims=True) + 1e-6)
+    k_map = k * (1.0 - 0.5 * std_n)
+    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
+    binary = img_eq < sauv
+
+    # Per-patch Otsu OR-refinement; skip near-flat patches (std < 3/255).
+    patch = 32
+    thr = otsu_threshold_patchwise(img_eq, patch)
+    lead = img_eq.shape[:-2]
+    h, w = img_eq.shape[-2:]
+    blocks = img_eq.reshape(lead + (h // patch, patch, w // patch, patch))
+    p_std = jnp.std(blocks, axis=(-3, -1))
+    p_std = jnp.repeat(jnp.repeat(p_std, patch, axis=-1), patch, axis=-2)
+    refine = jnp.logical_and(img_eq < thr, p_std >= 3.0 / 255.0)
+    binary = jnp.logical_or(binary, refine)
+
+    cleaned = remove_small_objects(binary, 80, connectivity=1)
+    cleaned = remove_small_holes(cleaned, 150, connectivity=1)
+
+    opened = opening(cleaned.astype(jnp.float32), 3, shape="ellipse")
+    marker = erode(opened, 3, shape="ellipse")
+    recon = reconstruction_by_dilation(marker, opened)
+    return recon > 0.5
+
+
+def smooth_fingerprint_skeleton(binary: jnp.ndarray, sigma: float = 1.4,
+                                diffusion_iter: int = 3,
+                                contrast_boost: float = 1.25,
+                                threshold: float = 0.35) -> jnp.ndarray:
+    """Anisotropic (tangential) smoothing of the binary ridge map
+    (fingerprint_preprocess.py:141-159). Normal field is computed once from
+    the input; each iteration adds sigma * (tangential gradient projection).
+    """
+    img = binary.astype(jnp.float32)
+    gx, gy = sobel(img)
+    mag = jnp.sqrt(gx * gx + gy * gy) + 1e-6
+    nx, ny = gx / mag, gy / mag
+
+    smoothed = img
+    for _ in range(diffusion_iter):
+        dx, dy = sobel(smoothed)
+        grad_proj = dx * ny - dy * nx
+        smoothed = smoothed + sigma * grad_proj
+
+    smoothed = gaussian_blur(smoothed, 0.6)
+    smoothed = jnp.clip(smoothed * contrast_boost, 0.0, 1.0)
+    return smoothed > threshold
+
+
+def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
+                          rel_thresh: float = 0.1) -> jnp.ndarray:
+    """Reliability-gated skeletonization (fingerprint_preprocess.py:161-177):
+    small-object/hole cleanup → mask by smoothed reliability → thin →
+    prune isolated tips."""
+    mask = remove_small_objects(binary_smooth, 64, connectivity=1)
+    mask = remove_small_holes(mask, 80, connectivity=1)
+    rel_smooth = gaussian_blur(reliability, 2.0)
+    mask = jnp.logical_and(mask, rel_smooth > rel_thresh)
+    skel = skeletonize(mask)
+    return prune_isolated(skel)
+
+
+def preprocess_fingerprint(img: jnp.ndarray,
+                           block_size: int = 16,
+                           orientation_sigma: float = 3.0,
+                           hull_directions: int = 90) -> EnhancementResult:
+    """Full enhancement chain over (..., H, W) float32 in [0,1]
+    (fingerprint_preprocess.py:182-225). H, W must be multiples of 32.
+
+    jit/vmap-able; typical use is ``jax.jit(preprocess_fingerprint)`` on a
+    (B, H, W) batch.
+    """
+    normalized = normalize_image(img)
+    denoised = denoise_image(normalized)
+    segmented, mask = segment_fingerprint(denoised, hull_directions)
+    binary = binarize(segmented)
+
+    field: OrientationField = compute_orientation_field(
+        segmented, mask=mask, block_size=block_size,
+        smooth_sigma=orientation_sigma,
+        smooth_orientation_sigma=orientation_sigma,
+    )
+
+    binary_smooth = smooth_fingerprint_skeleton(binary.astype(jnp.float32))
+    skeleton = thinning_and_cleaning(binary_smooth, field.reliability)
+
+    return EnhancementResult(
+        normalized=normalized,
+        denoised=denoised,
+        segmented=segmented,
+        mask=mask,
+        binary=binary,
+        skeleton=skeleton,
+        orientation=field.orientation,
+        reliability=field.reliability,
+    )

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+# Persistent compilation cache: the big jitted chains (NLM scan, CC loops)
+# compile once and are reused across test runs.
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture()
 def rng():
