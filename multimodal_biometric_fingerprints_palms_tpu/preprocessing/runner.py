@@ -1,0 +1,150 @@
+"""Batch preprocessing driver.
+
+Rebuild of src/preprocessing/run_preprocessing.py:71-183. The reference
+fans out one host thread per image (ThreadPoolExecutor(4), :154); here
+images are padded to one canonical shape, stacked into device batches, and
+the whole enhancement chain runs as one jit program per batch — files exist
+only at the boundaries.
+
+Outputs per image, preserving cluster subdirs (run_preprocessing.py:120-140):
+  <out>/enhanced/<cluster>/<base>_enhanced.jpg   (segmented gray; the
+      reference writes the raw input here due to a missing-key quirk,
+      run_preprocessing.py:132 ``results.get("enhanced", img)``)
+  <out>/enhanced/<cluster>/<base>_skeleton.jpg
+  <out>/debug/<cluster>/<base>_{normalized,denoised,segmented,binary}.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.io import read_image_grayscale, write_image
+from ..utils.logging import console_step, get_file_logger
+from ..utils.padding import pad_image_batch
+from .enhance import preprocess_fingerprint
+
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+logger = get_file_logger(__name__, "data/metadata/preprocessing.log")
+
+
+def _find_images(input_dir: Path) -> list[Path]:
+    out = []
+    for p in sorted(input_dir.rglob("*")):
+        if (p.is_file() and p.suffix.lower() in _IMAGE_EXTS
+                and not p.stem.endswith(("_enhanced", "_skeleton", "_minutiae"))):
+            out.append(p)
+    return out
+
+
+def _canonical_shape(shapes, multiple: int = 32) -> tuple[int, int]:
+    h = max(s[0] for s in shapes)
+    w = max(s[1] for s in shapes)
+    return h + (-h) % multiple, w + (-w) % multiple
+
+
+def run_preprocessing(input_dir: str | Path,
+                      output_dir: str | Path = "dataset/processed",
+                      batch_size: int = 32,
+                      debug: bool = True,
+                      small: bool = False) -> dict:
+    """Enhance every image under ``input_dir`` (recursively; cluster_*
+    subdirs preserved). Returns per-stage timing stats."""
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    enhanced_dir = output_dir / "enhanced"
+    debug_dir = output_dir / "debug"
+
+    paths = _find_images(input_dir)
+    if small:  # reference --small: first 10 images (run_preprocessing.py:93-95)
+        paths = paths[:10]
+    if not paths:
+        logger.warning("no images under %s", input_dir)
+        return {"num_images": 0}
+
+    console_step(f"Preprocessing {len(paths)} images from {input_dir}")
+
+    images, metas = [], []
+    for p in paths:
+        try:
+            img = read_image_grayscale(p).astype(np.float32) / 255.0
+        except Exception as e:
+            logger.error("unreadable image %s: %s", p, e)
+            continue
+        images.append(img)
+        metas.append((p, img.shape))
+    if not images:
+        return {"num_images": 0}
+
+    shape = _canonical_shape([m[1] for m in metas])
+    fn = jax.jit(preprocess_fingerprint)
+
+    t_start = time.time()
+    n_done = 0
+    for i in range(0, len(images), batch_size):
+        chunk = images[i:i + batch_size]
+        batch, _ = pad_image_batch(chunk, shape)
+        # Fixed batch shape: pad the last chunk to batch_size to avoid a
+        # second XLA compilation.
+        real = len(chunk)
+        if real < batch_size:
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - real,) + shape, np.float32)])
+        t0 = time.time()
+        res = fn(jnp.asarray(batch))
+        res = jax.tree.map(lambda a: np.asarray(a), res)
+        elapsed = time.time() - t0
+
+        for j in range(real):
+            path, (ih, iw) = metas[i + j]
+            rel = path.parent.relative_to(input_dir)
+            out_sub = enhanced_dir / rel
+            base = path.stem
+            write_image(out_sub / f"{base}_enhanced.jpg",
+                        res.segmented[j][:ih, :iw])
+            write_image(out_sub / f"{base}_skeleton.jpg",
+                        res.skeleton[j][:ih, :iw].astype(np.float32))
+            if debug:
+                dbg = debug_dir / rel
+                write_image(dbg / f"{base}_normalized.jpg", res.normalized[j][:ih, :iw])
+                write_image(dbg / f"{base}_denoised.jpg", res.denoised[j][:ih, :iw])
+                write_image(dbg / f"{base}_segmented.jpg", res.segmented[j][:ih, :iw])
+                write_image(dbg / f"{base}_binary.jpg",
+                            res.binary[j][:ih, :iw].astype(np.float32))
+                mask_dir = dbg / "mask"
+                write_image(mask_dir / path.name,
+                            res.mask[j][:ih, :iw].astype(np.float32))
+            logger.info("processed %s (batch %.2fs)", path.name, elapsed)
+        n_done += real
+
+    total = time.time() - t_start
+    stats = {
+        "num_images": n_done,
+        "total_seconds": total,
+        "images_per_second": n_done / max(total, 1e-9),
+        "canonical_shape": shape,
+    }
+    console_step(f"Done: {n_done} images in {total:.1f}s "
+                 f"({stats['images_per_second']:.1f} img/s)")
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Batch fingerprint preprocessing")
+    ap.add_argument("--input", default="dataset/sorted_dataset")
+    ap.add_argument("--output", default="dataset/processed")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--no-debug", action="store_true")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args(argv)
+    run_preprocessing(args.input, args.output, batch_size=args.batch_size,
+                      debug=not args.no_debug, small=args.small)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,12 @@ import pytest
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# This image's axon TPU plugin force-appends itself to jax_platforms,
+# overriding the JAX_PLATFORMS env var — pin CPU explicitly so the virtual
+# 8-device topology is real.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) >= 8, "virtual 8-device CPU topology missing"
 
 
 @pytest.fixture()

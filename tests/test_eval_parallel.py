@@ -1,0 +1,102 @@
+"""Tests for evaluation metrics and the sharded gallery matcher."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_biometric_fingerprints_palms_tpu.evaluation import (
+    evaluate_frr_across_thresholds, evaluate_far_across_thresholds, compute_eer,
+)
+from multimodal_biometric_fingerprints_palms_tpu.features.minutiae import MinutiaeSet
+from multimodal_biometric_fingerprints_palms_tpu.matching import (
+    MatchParams, match_minutiae_pair,
+)
+from multimodal_biometric_fingerprints_palms_tpu.parallel import (
+    create_mesh, all_pairs_scores, shard_gallery,
+)
+from multimodal_biometric_fingerprints_palms_tpu.parallel.gallery import identify
+
+
+def test_frr_far_sweeps_reference_conventions():
+    genuine = [0.9, 0.8, 0.3]
+    impostor = [0.1, 0.2, 0.7]
+    thr, frr = evaluate_frr_across_thresholds(genuine, num_points=11)
+    _, far = evaluate_far_across_thresholds(impostor, num_points=11)
+    # FRR(t) = mean(genuine < t); FAR(t) = mean(impostor >= t)
+    np.testing.assert_allclose(frr[0], 0.0)       # t=0: nothing below
+    np.testing.assert_allclose(frr[10], 1.0)      # t=1: all below
+    np.testing.assert_allclose(far[0], 1.0)       # t=0: all >= 0
+    np.testing.assert_allclose(far[10], 0.0)      # t=1: none >= 1
+    np.testing.assert_allclose(frr[5], 1 / 3)     # 0.3 < 0.5
+    np.testing.assert_allclose(far[5], 1 / 3)     # 0.7 >= 0.5
+
+
+def test_eer_crossing():
+    thr = np.linspace(0, 1, 11)
+    frr = thr.copy()          # rising
+    far = 1.0 - thr           # falling
+    eer, t = compute_eer(thr, frr, far)
+    assert abs(eer - 0.5) < 1e-9
+    assert abs(t - 0.5) < 1e-9
+
+
+def _gallery(rng, n_users, samples_per_user, k=64):
+    """Small gallery: each user is a random constellation; samples of the
+    same user are jittered copies."""
+    sets = []
+    labels = []
+    for u in range(n_users):
+        g = np.random.default_rng(1000 + u)
+        n = 16
+        base_xy = g.random((n, 2)).astype(np.float32) * 120 + 60
+        base_ori = (g.random(n).astype(np.float32) - 0.5) * np.pi
+        types = (g.random(n) > 0.5).astype(np.int32)
+        q = 0.6 + 0.4 * g.random(n).astype(np.float32)
+        for s in range(samples_per_user):
+            jit_xy = base_xy + rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+            xy = np.zeros((k, 2), np.float32); xy[:n] = jit_xy
+            ori = np.zeros((k,), np.float32); ori[:n] = base_ori
+            ty = np.zeros((k,), np.int32); ty[:n] = types
+            qq = np.zeros((k,), np.float32); qq[:n] = q
+            valid = np.zeros((k,), bool); valid[:n] = True
+            sets.append(MinutiaeSet(
+                xy=xy, minutia_type=ty, orientation=ori, quality=qq,
+                coherence=qq, angular_stability=qq, valid=valid))
+            labels.append(u)
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *sets)
+    return stacked, np.asarray(labels)
+
+
+def test_all_pairs_sharded_matches_pairwise(rng):
+    mesh = create_mesh(8)
+    gallery, labels = _gallery(rng, n_users=4, samples_per_user=4)  # N=16
+    gallery = shard_gallery(gallery, mesh)
+    p = MatchParams(ransac_iter=16, min_inliers=5)
+    scores = np.asarray(all_pairs_scores(gallery, mesh, p, col_chunk=16))
+    assert scores.shape == (16, 16)
+
+    # sharded result equals the plain pairwise matcher
+    get = lambda i: jax.tree.map(lambda x: x[i], gallery)
+    for (i, j) in [(0, 1), (0, 5), (3, 12), (7, 7)]:
+        ref = float(match_minutiae_pair(get(i), get(j), p).final_score)
+        np.testing.assert_allclose(scores[i, j], ref, atol=1e-5)
+
+    # genuine blocks score higher than impostor blocks
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(16, dtype=bool)
+    genuine_mean = scores[same & off_diag].mean()
+    impostor_mean = scores[~same].mean()
+    assert genuine_mean > impostor_mean + 0.2
+
+
+def test_identify_probe(rng):
+    mesh = create_mesh(8)
+    gallery, labels = _gallery(rng, n_users=4, samples_per_user=4)
+    probe = jax.tree.map(lambda x: x[1], gallery)   # user 0's 2nd sample
+    gallery = shard_gallery(gallery, mesh)
+    p = MatchParams(ransac_iter=16, min_inliers=5)
+    scores = np.asarray(identify(probe, gallery, mesh, p))
+    assert scores.shape == (16,)
+    top = int(np.argmax(scores))
+    assert labels[top] == 0                         # retrieves the right user
