@@ -25,7 +25,10 @@ from ..ops.histogram import (
     percentile_stretch, clahe, otsu_threshold, otsu_threshold_patchwise,
 )
 from ..ops.denoise import nlm_denoise
-from ..ops.morphology import opening, closing, erode, dilate, reconstruction_by_dilation
+from ..ops.morphology import (
+    binary_opening, binary_closing, binary_erode,
+    binary_reconstruction_by_dilation,
+)
 from ..ops.components import (
     remove_small_objects, remove_small_holes, largest_component, convex_hull_mask,
 )
@@ -89,8 +92,8 @@ def segment_fingerprint(img: jnp.ndarray, hull_directions: int = 90
     flip = (mean_fg > mean_bg)[..., None, None]
     mask = jnp.where(flip, jnp.logical_not(mask), mask)
 
-    m = closing(mask.astype(jnp.float32), 15, shape="ellipse") > 0.5
-    m = opening(m.astype(jnp.float32), 15, shape="ellipse") > 0.5
+    m = binary_closing(mask, 15, shape="ellipse")
+    m = binary_opening(m, 15, shape="ellipse")
     m = largest_component(m)
     hull = convex_hull_mask(m, n_directions=hull_directions)
     # Empty mask -> all-ones (reference :113-118).
@@ -134,10 +137,9 @@ def binarize(img: jnp.ndarray) -> jnp.ndarray:
     cleaned = remove_small_objects(binary, 80, connectivity=1)
     cleaned = remove_small_holes(cleaned, 150, connectivity=1)
 
-    opened = opening(cleaned.astype(jnp.float32), 3, shape="ellipse")
-    marker = erode(opened, 3, shape="ellipse")
-    recon = reconstruction_by_dilation(marker, opened)
-    return recon > 0.5
+    opened = binary_opening(cleaned, 3, shape="ellipse")
+    marker = binary_erode(opened, 3, shape="ellipse")
+    return binary_reconstruction_by_dilation(marker, opened)
 
 
 def smooth_fingerprint_skeleton(binary: jnp.ndarray, sigma: float = 1.4,
