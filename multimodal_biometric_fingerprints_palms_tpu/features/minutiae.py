@@ -98,33 +98,29 @@ def extract_minutiae(skel: jnp.ndarray, k: int = 64) -> MinutiaeSet:
     cand = sk & interior & ((cn == 1) | (cn == 3))
     is_bif = (cn == 3).astype(jnp.int32)
 
-    flat = cand.reshape(lead + (-1,))
-    order = jnp.cumsum(flat.astype(jnp.int32), axis=-1) - 1  # slot per candidate
-    slot = jnp.where(flat & (order < k), order, k)           # k = dump slot
-
     b = 1
     for d in lead:
         b *= d
-    slot2 = slot.reshape(b, h * w)
-    row = jnp.arange(b, dtype=jnp.int32)[:, None]
-    scat = (row * (k + 1) + slot2).reshape(-1)
+    flat = cand.reshape(b, h * w)
+    hw = h * w
 
-    yy = jnp.broadcast_to(ys, (h, w)).reshape(-1)
-    xx = jnp.broadcast_to(xs, (h, w)).reshape(-1)
-    yy = jnp.broadcast_to(yy, (b, h * w)).reshape(-1)
-    xx = jnp.broadcast_to(xx, (b, h * w)).reshape(-1)
-    types_flat = is_bif.reshape(b, h * w).reshape(-1)
+    # First-k candidates in row-major order via top_k (TPU-native sort
+    # network) instead of a scatter: top_k of (-linear_index) over candidate
+    # pixels yields the smallest indices first.
+    lin = jnp.arange(hw, dtype=jnp.int32)[None, :]
+    keyed = jnp.where(flat, -lin, -jnp.int32(2 ** 30))
+    _, top_idx = jax.lax.top_k(keyed, k)                     # (b, k)
+    # top_k returns positions of the k largest keys; for candidates those
+    # positions ARE the candidate pixel indices (ties impossible).
+    out_y = (top_idx // w).astype(jnp.int32)
+    out_x = (top_idx % w).astype(jnp.int32)
+    out_t = jnp.take_along_axis(is_bif.reshape(b, hw), top_idx, axis=-1)
 
-    def scatter(vals):
-        out = jnp.zeros((b * (k + 1),), vals.dtype)
-        return out.at[scat].set(vals).reshape(b, k + 1)[:, :k]
-
-    out_x = scatter(xx)
-    out_y = scatter(yy)
-    out_t = scatter(types_flat)
-
-    count = jnp.sum(flat.astype(jnp.int32), axis=-1).reshape(b, 1)
+    count = jnp.sum(flat.astype(jnp.int32), axis=-1)[:, None]
     valid = jnp.arange(k, dtype=jnp.int32)[None, :] < jnp.minimum(count, k)
+    out_x = jnp.where(valid, out_x, 0)
+    out_y = jnp.where(valid, out_y, 0)
+    out_t = jnp.where(valid, out_t, 0)
 
     zeros = jnp.zeros((b, k), jnp.float32)
     ms = MinutiaeSet(

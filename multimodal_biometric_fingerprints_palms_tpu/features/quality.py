@@ -120,20 +120,28 @@ def _remove_redundant_oriented(ms: MinutiaeSet, keep: jnp.ndarray,
     dang = ms.orientation[:, None] - ms.orientation[None, :]
     ang_close = jnp.abs(jnp.arctan2(jnp.sin(dang), jnp.cos(dang))) < angle_thresh
 
-    def body(flat, removed):
-        i = flat // k
-        j = flat % k
-        cond = (
-            (j > i)
-            & keep[i] & keep[j]
-            & ~removed[i] & ~removed[j]
-            & (d2[i, j] <= radius[i] ** 2)
-            & ang_close[i, j]
-        )
-        victim = jnp.where(ms.quality[i] < ms.quality[j], i, j)
-        return removed.at[victim].set(removed[victim] | cond)
+    # One pass per i with the inner j loop vectorized. This is EXACTLY the
+    # reference's nested-loop semantics: within i's pass, a j can only be
+    # removed by the (i, j) comparison itself (so same-pass j removals can't
+    # gate later j's), and the reference never re-checks i mid-pass — both
+    # facts make the j loop order-free.
+    cols = jnp.arange(k)
 
-    removed = lax.fori_loop(0, k * k, body, jnp.zeros((k,), bool))
+    def body(i, removed):
+        cond = (
+            (cols > i)
+            & keep[i] & keep
+            & ~removed[i] & ~removed
+            & (d2[i] <= radius[i] ** 2)
+            & ang_close[i]
+        )
+        i_loses = ms.quality[i] < ms.quality          # (k,) per-j victim choice
+        remove_j = cond & ~i_loses
+        remove_i = jnp.any(cond & i_loses)
+        removed = removed | remove_j
+        return removed.at[i].set(removed[i] | remove_i)
+
+    removed = lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
     return keep & ~removed
 
 
