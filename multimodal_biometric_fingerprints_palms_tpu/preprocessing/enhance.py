@@ -62,10 +62,16 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return clahe(_quantize_u8(f), clip_limit=2.5, grid=8)
 
 
-def denoise_image(img: jnp.ndarray) -> jnp.ndarray:
+def denoise_image(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """NLM (h=10, template 7, search 21) + 3x3 Gaussian sigma 0.6
     (fingerprint_preprocess.py:34-38)."""
-    d = nlm_denoise(img, h=10.0, template_window=7, search_window=21)
+    if use_pallas:
+        from ..ops.pallas_kernels import nlm_denoise_pallas
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        d = nlm_denoise_pallas(flat).reshape(lead + img.shape[-2:])
+    else:
+        d = nlm_denoise(img, h=10.0, template_window=7, search_window=21)
     return gaussian_blur_cv(d, ksize=3, sigma=0.6)
 
 
@@ -102,7 +108,7 @@ def segment_fingerprint(img: jnp.ndarray, hull_directions: int = 90
     return img * hull.astype(img.dtype), hull
 
 
-def binarize(img: jnp.ndarray) -> jnp.ndarray:
+def binarize(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """Hybrid Sauvola + per-patch-Otsu binarization
     (fingerprint_preprocess.py:43-81).
 
@@ -115,13 +121,19 @@ def binarize(img: jnp.ndarray) -> jnp.ndarray:
     img_eq = clahe(_quantize_u8(img), clip_limit=2.5, grid=8)
 
     win, k = 25, 0.25
-    mean = box_filter(img_eq, win)
-    sqmean = box_filter(img_eq * img_eq, win)
-    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
-    std_n = std / (jnp.max(std, axis=(-2, -1), keepdims=True) + 1e-6)
-    k_map = k * (1.0 - 0.5 * std_n)
-    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
-    binary = img_eq < sauv
+    if use_pallas:
+        from ..ops.pallas_kernels import sauvola_binarize_pallas
+        lead = img_eq.shape[:-2]
+        flat = img_eq.reshape((-1,) + img_eq.shape[-2:])
+        binary = sauvola_binarize_pallas(flat, win, k).reshape(img_eq.shape) > 0.5
+    else:
+        mean = box_filter(img_eq, win)
+        sqmean = box_filter(img_eq * img_eq, win)
+        std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
+        std_n = std / (jnp.max(std, axis=(-2, -1), keepdims=True) + 1e-6)
+        k_map = k * (1.0 - 0.5 * std_n)
+        sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
+        binary = img_eq < sauv
 
     # Per-patch Otsu OR-refinement; skip near-flat patches (std < 3/255).
     patch = 32
@@ -182,7 +194,8 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
 def preprocess_fingerprint(img: jnp.ndarray,
                            block_size: int = 16,
                            orientation_sigma: float = 3.0,
-                           hull_directions: int = 90) -> EnhancementResult:
+                           hull_directions: int = 90,
+                           use_pallas: bool = False) -> EnhancementResult:
     """Full enhancement chain over (..., H, W) float32 in [0,1]
     (fingerprint_preprocess.py:182-225). H, W must be multiples of 32.
 
@@ -190,9 +203,9 @@ def preprocess_fingerprint(img: jnp.ndarray,
     (B, H, W) batch.
     """
     normalized = normalize_image(img)
-    denoised = denoise_image(normalized)
+    denoised = denoise_image(normalized, use_pallas=use_pallas)
     segmented, mask = segment_fingerprint(denoised, hull_directions)
-    binary = binarize(segmented)
+    binary = binarize(segmented, use_pallas=use_pallas)
 
     field: OrientationField = compute_orientation_field(
         segmented, mask=mask, block_size=block_size,
