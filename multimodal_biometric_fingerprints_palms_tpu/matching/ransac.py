@@ -77,12 +77,21 @@ def _angle_diff(a, b):
     return jnp.mod(d + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _sqdist(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
+    """(K, K) squared distances in matmul form: |a|^2 + |b|^2 - 2 a.b^T —
+    the contraction runs on the MXU (the KDTree replacement, match.py:46-48)."""
+    aa = jnp.sum(pa * pa, axis=-1, keepdims=True)
+    bb = jnp.sum(pb * pb, axis=-1)
+    ab = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(aa - 2.0 * ab + bb[None, :], 0.0)
+
+
 def _match_with_transform(a: MinutiaeSet, b: MinutiaeSet, wa, wb, theta, t,
                           p: MatchParams):
     """Dense rebuild of match.py:32-73. Returns (scores, inlier_mask, idx_b)
     per A slot."""
     ta = _apply_rigid(a.xy, theta, t)                       # (K, 2)
-    d2 = jnp.sum((ta[:, None, :] - b.xy[None, :, :]) ** 2, axis=-1)
+    d2 = _sqdist(ta, b.xy)
     d2 = jnp.where(b.valid[None, :], d2, _BIG)              # mask invalid B
     idx_b = jnp.argmin(d2, axis=-1)                         # NN in B per A
     d = jnp.sqrt(jnp.take_along_axis(d2, idx_b[:, None], axis=-1)[:, 0])
@@ -158,8 +167,21 @@ def match_minutiae_pair(a: MinutiaeSet, b: MinutiaeSet,
     key = jax.random.PRNGKey(p.seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(p.ransac_iter))
-    h_score, h_n, h_theta, h_t = jax.vmap(
-        lambda k: _hypothesis(k, a, b, wa, wb, possible, p))(keys)
+    # Hypotheses evaluate vmapped in fixed-size chunks (lax.map over chunks)
+    # so the (chunk, K, K) distance tensors stay bounded even when an outer
+    # vmap batches many pairs.
+    chunk = min(50, p.ransac_iter)
+    n_chunks = -(-p.ransac_iter // chunk)
+    pad = n_chunks * chunk - p.ransac_iter
+    keys = jnp.concatenate([keys, keys[:1].repeat(pad, 0)]) if pad else keys
+    keys = keys.reshape(n_chunks, chunk, *keys.shape[1:])
+    h_score, h_n, h_theta, h_t = lax.map(
+        lambda kc: jax.vmap(
+            lambda k: _hypothesis(k, a, b, wa, wb, possible, p))(kc),
+        keys)
+    h_score, h_n, h_theta, h_t = (
+        x.reshape((n_chunks * chunk,) + x.shape[2:])[:p.ransac_iter]
+        for x in (h_score, h_n, h_theta, h_t))
     h_score = jnp.where(reject, 0.0, h_score)
     h_n = jnp.where(reject, 0, h_n)
 
