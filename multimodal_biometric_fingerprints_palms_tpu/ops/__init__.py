@@ -12,7 +12,9 @@ from .histogram import (
     percentile_stretch, clahe, otsu_threshold, otsu_threshold_patchwise, equalize_hist
 )
 from .morphology import (
-    erode, dilate, opening, closing, reconstruction_by_dilation
+    erode, dilate, opening, closing, reconstruction_by_dilation,
+    binary_dilate, binary_erode, binary_opening, binary_closing,
+    binary_reconstruction_by_dilation,
 )
 from .components import (
     connected_components, remove_small_objects, remove_small_holes,

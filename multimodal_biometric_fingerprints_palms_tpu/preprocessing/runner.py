@@ -53,9 +53,14 @@ def run_preprocessing(input_dir: str | Path,
                       output_dir: str | Path = "dataset/processed",
                       batch_size: int = 32,
                       debug: bool = True,
-                      small: bool = False) -> dict:
+                      small: bool = False,
+                      use_native_loader: bool | None = None) -> dict:
     """Enhance every image under ``input_dir`` (recursively; cluster_*
-    subdirs preserved). Returns per-stage timing stats."""
+    subdirs preserved). Returns per-stage timing stats.
+
+    use_native_loader: None = auto (use the C++ thread-pool decoder when
+    the host has multiple cores), True/False to force.
+    """
     input_dir, output_dir = Path(input_dir), Path(output_dir)
     enhanced_dir = output_dir / "enhanced"
     debug_dir = output_dir / "debug"
@@ -69,15 +74,37 @@ def run_preprocessing(input_dir: str | Path,
 
     console_step(f"Preprocessing {len(paths)} images from {input_dir}")
 
+    if use_native_loader is None:
+        import os
+        use_native_loader = (os.cpu_count() or 1) > 2
+    native = None
+    if use_native_loader:
+        from ..utils.native_loader import native_available
+        native = native_available()
+
     images, metas = [], []
-    for p in paths:
-        try:
-            img = read_image_grayscale(p).astype(np.float32) / 255.0
-        except Exception as e:
-            logger.error("unreadable image %s: %s", p, e)
-            continue
-        images.append(img)
-        metas.append((p, img.shape))
+    if native:
+        from ..utils.native_loader import batch_load
+        # chunked decode into a bounded staging buffer, cropped per image
+        cap = 1024
+        for i0 in range(0, len(paths), batch_size):
+            chunk = paths[i0:i0 + batch_size]
+            staged, status, ws, hs = batch_load(chunk, cap, cap)
+            for j, p in enumerate(chunk):
+                if status[j] != 0:
+                    logger.error("unreadable image %s", p)
+                    continue
+                images.append(staged[j, :hs[j], :ws[j]].copy())
+                metas.append((p, (int(hs[j]), int(ws[j]))))
+    else:
+        for p in paths:
+            try:
+                img = read_image_grayscale(p).astype(np.float32) / 255.0
+            except Exception as e:
+                logger.error("unreadable image %s: %s", p, e)
+                continue
+            images.append(img)
+            metas.append((p, img.shape))
     if not images:
         return {"num_images": 0}
 
