@@ -14,7 +14,7 @@ reference wrapper's pooling and projector (backbone.py:76-106).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

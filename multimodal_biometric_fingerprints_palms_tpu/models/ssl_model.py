@@ -5,9 +5,6 @@ Rebuild of classifier/models/ssl_model.py:6-56.
 
 from __future__ import annotations
 
-from typing import Any
-
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .backbone import FingerprintBackbone, STAGE_PLANS, EFFNETV2_S

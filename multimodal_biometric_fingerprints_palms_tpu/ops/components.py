@@ -4,14 +4,21 @@ TPU-native replacements for skimage.morphology.remove_small_objects /
 remove_small_holes (fingerprint_preprocess.py:73-74, 167-168) and
 cv2.findContours + convexHull (fingerprint_preprocess.py:112-123).
 
-Labeling: each foreground pixel starts with its linear index; each iteration
-takes the min over the connected neighborhood (a 3x3 or cross-shaped min
-`reduce_window`) and then *pointer-jumps* twice (label <- label[label], a
-flat gather — labels are linear indices, so chasing them contracts chains
-exponentially). Converges in O(log diameter) iterations inside a bounded
-`lax.while_loop`; each iteration is one cheap stencil plus two gathers, which
-profiles ~30x faster on TPU than segmented-scan sweeps (and compiles in
-seconds instead of minutes).
+Labeling: each foreground pixel starts with its linear index; labels
+propagate by *segmented min-scans* along rows and columns plus a 3x3 (or
+cross) min stencil, iterated to fixpoint in a bounded `lax.while_loop` — a
+sweep converges in O(#zigzags of the component shape) iterations instead of
+O(image diameter).
+
+The segmented min-scan is a manual log-doubling recurrence unrolled at trace
+time (ceil(log2(L)) steps per direction): carry (v, blocked) where v is the
+window min and blocked marks a reset inside the window; each step combines
+with the copy shifted by 2^s. Everything is elementwise f32/bool plus static
+pad/slice shifts — no scan primitives (tuple associative_scans took minutes
+to compile and ~500 ms/sweep on TPU; lax.cummax-on-int32 crashed the remote
+TPU compiler) and no gathers (~2.5 s/sweep on TPU). Sweeps iterate to
+fixpoint in a bounded `lax.while_loop`, converging in O(#zigzags of the
+component shape) iterations.
 
 Convex hull: a convex set is the intersection of its supporting half-planes;
 we intersect D sampled directions (`lax.scan` over angles), which converges
@@ -21,9 +28,6 @@ PolyU resolutions).
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -65,8 +69,51 @@ def _pointer_jump(label: jnp.ndarray, fg: jnp.ndarray, hw: int) -> jnp.ndarray:
     return jnp.where(fg, out, _INF)
 
 
+_FINF = jnp.float32(2 ** 30)
+
+
+def _shift_along(x: jnp.ndarray, axis: int, amount: int, fill):
+    """Shift ``x`` forward by ``amount`` along ``axis`` (vacated slots get
+    ``fill``): out[i] = x[i - amount]."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (amount, 0)
+    padded = jnp.pad(x, pad, constant_values=fill)
+    index = [slice(None)] * x.ndim
+    index[axis] = slice(0, x.shape[axis])
+    return padded[tuple(index)]
+
+
+def _seg_min_scan(label: jnp.ndarray, fg: jnp.ndarray, axis: int,
+                  reverse: bool) -> jnp.ndarray:
+    """Segmented prefix-min of ``label`` along ``axis`` (segments reset at
+    background) via log-doubling. Background slots return _INF."""
+    axis = axis % label.ndim
+    if reverse:
+        label = jnp.flip(label, axis)
+        fg = jnp.flip(fg, axis)
+
+    v = jnp.where(fg, label.astype(jnp.float32), _FINF)
+    blocked = jnp.logical_not(fg)
+    length = label.shape[axis]
+    shift = 1
+    while shift < length:
+        v_s = _shift_along(v, axis, shift, _FINF)
+        b_s = _shift_along(blocked, axis, shift, True)
+        v = jnp.where(blocked, v, jnp.minimum(v, v_s))
+        blocked = jnp.logical_or(blocked, b_s)
+        shift *= 2
+
+    out = jnp.where(fg, v.astype(jnp.int32), _INF)
+    if reverse:
+        out = jnp.flip(out, axis)
+    return out
+
+
 def connected_components(mask: jnp.ndarray, connectivity: int = 2,
-                         max_iters: int = 48) -> jnp.ndarray:
+                         max_iters: int = 512) -> jnp.ndarray:
+    # max_iters is a worst-case bound (pure-diagonal 8-conn chains advance
+    # one pixel per sweep); the while_loop exits at convergence, which for
+    # ridge masks takes ~10-20 sweeps.
     """Label connected components of a boolean mask (..., H, W).
 
     Returns int32 labels: the linear index of each component's smallest
@@ -80,11 +127,20 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
            + jnp.arange(w, dtype=jnp.int32)[None, :])
     label0 = jnp.where(fg, jnp.broadcast_to(idx, mask.shape), _INF)
 
-    def step(label):
-        label = _neighbor_min(label, fg, connectivity)
-        label = _pointer_jump(label, fg, hw)
-        label = _pointer_jump(label, fg, hw)
-        return label
+    # label values must be exact in f32 doubling scans (24-bit mantissa)
+    if hw <= (1 << 24):
+        def step(label):
+            label = _seg_min_scan(label, fg, -1, False)
+            label = _seg_min_scan(label, fg, -1, True)
+            label = _seg_min_scan(label, fg, -2, False)
+            label = _seg_min_scan(label, fg, -2, True)
+            return _neighbor_min(label, fg, connectivity)
+    else:  # large images: gather-based pointer jumping
+        def step(label):
+            label = _neighbor_min(label, fg, connectivity)
+            label = _pointer_jump(label, fg, hw)
+            label = _pointer_jump(label, fg, hw)
+            return label
 
     def cond(state):
         label, prev, i = state

@@ -15,7 +15,6 @@ rescaled by 1/255 internally.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

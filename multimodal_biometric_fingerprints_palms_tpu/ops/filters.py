@@ -13,10 +13,6 @@ the golden tests rather than bit-parity.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,9 +11,6 @@ Images are float32 in [0, 1] throughout.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 NBINS = 256

@@ -12,7 +12,6 @@ reconstruction by dilation is a bounded `lax.while_loop` to fixpoint.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,7 +11,6 @@ tie-breaking), which downstream minutiae tests treat distributionally.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -13,8 +13,6 @@ within a bounded VMEM/HBM footprint.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

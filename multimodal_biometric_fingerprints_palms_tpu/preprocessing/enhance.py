@@ -14,7 +14,6 @@ bbox crop (static shapes are what makes the batch jit-able — SURVEY.md §7).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

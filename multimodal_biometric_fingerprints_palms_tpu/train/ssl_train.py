@@ -15,7 +15,6 @@ early stopping. TPU-native differences:
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, NamedTuple
 
