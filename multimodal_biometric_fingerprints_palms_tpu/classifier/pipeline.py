@@ -128,6 +128,18 @@ def main(config_path: str | None = None, dataset_dirs=None,
     with open(save_dir / "clustering_report_detailed.json", "w") as f:
         json.dump(report, f, indent=2)
 
+    # Embedding scatter figure (main_ssl_pipeline.py:219-243).
+    vcfg = cfg.get("ssl.visualization", {})
+    try:
+        from .visualize import visualize_embeddings
+        figures_dir = Path(cfg.get("paths.figures_dir", "results/img"))
+        visualize_embeddings(
+            embeddings, labels, figures_dir / "embeddings_clusters.png",
+            method=vcfg.get("method", "tsne") if hasattr(vcfg, "get") else "tsne",
+            max_points=vcfg.get("max_points", 3000) if hasattr(vcfg, "get") else 3000)
+    except Exception as e:  # viz must never break the pipeline
+        logger.warning("embedding visualization failed: %s", e)
+
     # --- per-ID aggregation + nearest-to-centroid label
     #     (main_ssl_pipeline.py:250-289) ---
     console_step("Per-ID aggregation")

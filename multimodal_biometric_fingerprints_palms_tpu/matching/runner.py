@@ -36,13 +36,40 @@ logger = get_file_logger(__name__, "data/metadata/matching.log")
 
 
 def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
-                       params: MatchParams, chunk: int = 512) -> dict:
+                       params: MatchParams, chunk: int = 512,
+                       cascade: bool = False,
+                       screen_iters: int = 32) -> dict:
     """Match (P, 2) sample-index pairs in fixed-size device chunks.
-    Returns arrays of final_score / n_inliers / theta / t per pair."""
+    Returns arrays of final_score / n_inliers / theta / t per pair.
+
+    cascade=True runs a two-phase screen: a cheap pass with
+    ``screen_iters`` RANSAC hypotheses for every pair, then the full
+    ``params.ransac_iter`` pass only for pairs the screen didn't hard-
+    reject. Impostor pairs overwhelmingly fail the screen (spatial-std
+    reject or zero inliers under any hypothesis), so the expensive pass
+    runs on a small fraction of the workload.
+    """
     n = pairs.shape[0]
     if n == 0:
         return {"final_score": np.zeros(0), "n_inliers": np.zeros(0, np.int32),
                 "theta": np.zeros(0), "t": np.zeros((0, 2))}
+
+    if cascade and params.ransac_iter > screen_iters:
+        screen = match_pair_indices(
+            ds, pairs, params._replace(ransac_iter=screen_iters,
+                                       min_inliers=max(3, params.min_inliers - 2)),
+            chunk=chunk)
+        promising = (screen["final_score"] > 0.0) | (screen["n_inliers"] > 0)
+        out = {
+            "final_score": np.zeros(n), "n_inliers": np.zeros(n, np.int32),
+            "theta": np.zeros(n), "t": np.zeros((n, 2)),
+        }
+        idx = np.nonzero(promising)[0]
+        if idx.size:
+            full = match_pair_indices(ds, pairs[idx], params, chunk=chunk)
+            for key in out:
+                out[key][idx] = full[key]
+        return out
     out_scores, out_inl, out_theta, out_t = [], [], [], []
     for i in range(0, n, chunk):
         idx = pairs[i:i + chunk]

@@ -1,0 +1,56 @@
+"""Tests for the two-phase cascade matcher."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_biometric_fingerprints_palms_tpu.matching import MatchParams
+from multimodal_biometric_fingerprints_palms_tpu.matching.dataset import MinutiaeDataset
+from multimodal_biometric_fingerprints_palms_tpu.matching.runner import match_pair_indices
+from multimodal_biometric_fingerprints_palms_tpu.features.minutiae import MinutiaeSet
+
+
+def _dataset(rng, n_users=4, samples=2, n_min=20, k=64):
+    sets, users, sidx, mats = [], [], [], []
+    for u in range(n_users):
+        g = np.random.default_rng(100 + u)
+        base_xy = g.random((n_min, 2)).astype(np.float32) * 120 + 60
+        base_ori = (g.random(n_min).astype(np.float32) - 0.5) * np.pi
+        types = (g.random(n_min) > 0.5).astype(np.int32)
+        q = 0.5 + 0.5 * g.random(n_min).astype(np.float32)
+        for s in range(samples):
+            jit = base_xy + rng.normal(0, 1.0, (n_min, 2)).astype(np.float32)
+            xy = np.zeros((k, 2), np.float32); xy[:n_min] = jit
+            ori = np.zeros((k,), np.float32); ori[:n_min] = base_ori
+            ty = np.zeros((k,), np.int32); ty[:n_min] = types
+            qq = np.zeros((k,), np.float32); qq[:n_min] = q
+            valid = np.zeros((k,), bool); valid[:n_min] = True
+            sets.append(MinutiaeSet(xy=xy, minutia_type=ty, orientation=ori,
+                                    quality=qq, coherence=qq,
+                                    angular_stability=qq, valid=valid))
+            users.append(u)
+            sidx.append(s)
+            mat = np.zeros((n_min, 7))
+            mat[:, :2] = jit
+            mats.append(mat)
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *sets)
+    return MinutiaeDataset(
+        users=[str(u) for u in range(n_users)],
+        user_index=np.asarray(users, np.int32),
+        sample_index=np.asarray(sidx, np.int32),
+        matrices=mats, stacked=stacked)
+
+
+def test_cascade_matches_full_on_genuine_and_impostor(rng):
+    ds = _dataset(rng)
+    pairs = np.asarray([[0, 1], [2, 3], [0, 2], [4, 6], [1, 5]], np.int32)
+    p = MatchParams(ransac_iter=128, min_inliers=6)
+    full = match_pair_indices(ds, pairs, p, chunk=8)
+    casc = match_pair_indices(ds, pairs, p, chunk=8, cascade=True,
+                              screen_iters=16)
+    # genuine pairs (same user) keep their full scores
+    np.testing.assert_allclose(casc["final_score"][:2],
+                               full["final_score"][:2], atol=1e-6)
+    # impostor scores stay non-positive-biased: cascade <= full + eps
+    assert (casc["final_score"] <= full["final_score"] + 1e-6).all()
+    assert full["final_score"][0] > 0.3  # sanity: genuine matched
