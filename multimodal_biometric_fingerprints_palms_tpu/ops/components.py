@@ -109,11 +109,25 @@ def _seg_min_scan(label: jnp.ndarray, fg: jnp.ndarray, axis: int,
     return out
 
 
+# Implementation selector, read at trace time: "xla" (default) or "pallas"
+# (VMEM-resident kernel, ops/pallas_cc.py). Set before jit-compiling.
+CC_IMPL = "xla"
+
+
+def set_cc_impl(impl: str) -> None:
+    global CC_IMPL
+    assert impl in ("xla", "pallas"), impl
+    CC_IMPL = impl
+
+
 def connected_components(mask: jnp.ndarray, connectivity: int = 2,
                          max_iters: int = 512) -> jnp.ndarray:
     # max_iters is a worst-case bound (pure-diagonal 8-conn chains advance
     # one pixel per sweep); the while_loop exits at convergence, which for
     # ridge masks takes ~10-20 sweeps.
+    if CC_IMPL == "pallas":
+        from .pallas_cc import connected_components_pallas
+        return connected_components_pallas(mask, connectivity, max_iters)
     """Label connected components of a boolean mask (..., H, W).
 
     Returns int32 labels: the linear index of each component's smallest

@@ -13,6 +13,8 @@ the golden tests rather than bit-parity.
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -28,26 +30,61 @@ def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray,
                 border: str = "reflect") -> jnp.ndarray:
     """2-D correlation with SAME-size output on the trailing dims.
 
-    kernel: (kh, kw). border: "reflect" (default), "edge", or "zero".
+    kernel: (kh, kw). border: "reflect" (default), "edge", "mirror" or
+    "zero".
+
+    1-D kernels lower to `lax.conv_general_dilated`, which XLA handles well.
+    General 2-D kernels use shift-and-accumulate over the (static) kernel
+    taps instead: single-channel 2-D convs lower pathologically on TPU
+    (a 3x3 Sobel via lax.conv measured ~40 ms on (32, 320, 256) where the
+    fused shift-add runs in well under 1 ms).
     """
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
-    xn, lead = _to_nchw(x.astype(jnp.float32))
-    pad_spec = ((0, 0), (0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw))
+    pad_spec_2d = [(0, 0)] * (x.ndim - 2) + [(ph, kh - 1 - ph), (pw, kw - 1 - pw)]
+    x = x.astype(jnp.float32)
+
+    if 1 in (kh, kw):
+        xn, lead = _to_nchw(x)
+        pad_spec = ((0, 0), (0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw))
+        if border == "zero":
+            padded = jnp.pad(xn, pad_spec)
+        else:
+            mode = {"reflect": "symmetric", "mirror": "reflect",
+                    "edge": "edge"}[border]
+            padded = jnp.pad(xn, pad_spec, mode=mode)
+        k = kernel.astype(jnp.float32).reshape(1, 1, kh, kw)
+        out = lax.conv_general_dilated(
+            padded, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
+        )
+        return out.reshape(lead + x.shape[-2:])
+
     if border == "zero":
-        padded = jnp.pad(xn, pad_spec)
+        padded = jnp.pad(x, pad_spec_2d)
     else:
-        # "reflect" = scipy's reflect / numpy's symmetric (edge repeated);
-        # "mirror" = cv2 BORDER_REFLECT_101 / numpy's reflect (edge not repeated).
-        mode = {"reflect": "symmetric", "mirror": "reflect", "edge": "edge"}[border]
-        padded = jnp.pad(xn, pad_spec, mode=mode)
-    k = kernel.astype(jnp.float32).reshape(1, 1, kh, kw)
-    out = lax.conv_general_dilated(
-        padded, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
-    )
-    return out.reshape(lead + x.shape[-2:])
+        mode = {"reflect": "symmetric", "mirror": "reflect",
+                "edge": "edge"}[border]
+        padded = jnp.pad(x, pad_spec_2d, mode=mode)
+    h, w = x.shape[-2:]
+    try:
+        kern = np.asarray(kernel, dtype=np.float32)
+    except Exception:  # traced kernel: keep weights symbolic
+        kern = None
+    out = jnp.zeros_like(x)
+    if kern is None:
+        for dy in range(kh):
+            for dx in range(kw):
+                out = out + kernel[dy, dx] * padded[..., dy:dy + h, dx:dx + w]
+        return out
+    for dy in range(kh):
+        for dx in range(kw):
+            wgt = float(kern[dy, dx])
+            if wgt == 0.0:
+                continue
+            out = out + wgt * padded[..., dy:dy + h, dx:dx + w]
+    return out
 
 
 def _separable(x: jnp.ndarray, k1d: jnp.ndarray, border: str) -> jnp.ndarray:
@@ -87,9 +124,9 @@ def blur_mean(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return box_filter(x, size)
 
 
-_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0],
-                      [-2.0, 0.0, 2.0],
-                      [-1.0, 0.0, 1.0]], dtype=jnp.float32)
+_SOBEL_X = np.array([[-1.0, 0.0, 1.0],
+                     [-2.0, 0.0, 2.0],
+                     [-1.0, 0.0, 1.0]], dtype=np.float32)
 
 
 def sobel(x: jnp.ndarray, border: str = "reflect") -> tuple[jnp.ndarray, jnp.ndarray]:

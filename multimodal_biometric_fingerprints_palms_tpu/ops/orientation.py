@@ -104,11 +104,12 @@ def compute_orientation_field(
         block_theta = 0.5 * jnp.arctan2(sin2, cos2)
 
     # Bilinear upsample of the block fields (:81-82); angles are resized
-    # directly, as in the reference.
-    lead = f.shape[:-2]
+    # directly, as in the reference. Matmul-form upsampling (MXU) instead
+    # of the gather-based jax.image.resize.
+    from .geometry import upsample_bilinear_matmul
     h, w_ = f.shape[-2:]
-    orient = jax.image.resize(block_theta, lead + (h, w_), "bilinear")
+    orient = upsample_bilinear_matmul(block_theta, (h, w_))
     orient = jnp.mod(orient + jnp.pi / 2.0, jnp.pi) - jnp.pi / 2.0
-    rel_img = jax.image.resize(rel_blocks, lead + (h, w_), "bilinear")
+    rel_img = upsample_bilinear_matmul(rel_blocks, (h, w_))
 
     return OrientationField(block_theta, block_valid, orient, rel_img, rel)
