@@ -120,3 +120,20 @@ def load_segmentation_config(path: str | Path | None = None) -> ConfigNode:
     """UNet++ segmentation training params
     (reference: config/config_segmentation.yml:1-76)."""
     return _load("config_segmentation.yml", path)
+
+
+def print_config_summary(cfg: ConfigNode, title: str = "config") -> None:
+    """Console dump of a config tree (reference:
+    config_fingerprint.py:31)."""
+    print(f"===== {title} =====")
+
+    def walk(node, indent=0):
+        for k in node:
+            v = node[k]
+            if isinstance(v, ConfigNode):
+                print("  " * indent + f"{k}:")
+                walk(v, indent + 1)
+            else:
+                print("  " * indent + f"{k}: {v}")
+
+    walk(cfg)
