@@ -58,8 +58,16 @@ def main():
         return ms.count
 
     x = jnp.asarray(make_batch(batch))
-    # Warmup / compile
-    pipeline(x).block_until_ready()
+
+    # Warmup / compile; one retry on transient TPU-tunnel errors.
+    for attempt in range(2):
+        try:
+            pipeline(x).block_until_ready()
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(30)
 
     iters = 5
     t0 = time.perf_counter()
