@@ -40,13 +40,76 @@ def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp
     return hist.reshape(lead + (NBINS,))
 
 
+def _quantile_from_hist(hist: jnp.ndarray, qs, n: int) -> jnp.ndarray:
+    """np.percentile('linear') from per-row histograms.
+
+    hist: (..., NBINS) counts of values on a known bin grid; returns
+    (..., len(qs)) bin-index-valued quantiles (float, interpolated).
+    Exact when the data sits on the bin grid (u8 images); replaces the
+    per-image O(n log n) sort (~hundreds of ms per batch on TPU) with one
+    histogram + a 256-wide comparison.
+    """
+    cum = jnp.cumsum(hist, axis=-1)                      # (..., NBINS)
+    qs = jnp.asarray(qs, dtype=jnp.float32)
+    v = (n - 1) * qs / 100.0                             # virtual order stats
+    k0 = jnp.floor(v)
+    k1 = jnp.ceil(v)
+
+    def order_stat(k):
+        # value of the k-th (0-based) order statistic: first bin with cum > k
+        return jnp.sum((cum[..., None, :] <= k[..., None]).astype(jnp.float32),
+                       axis=-1)
+
+    lo = order_stat(k0)
+    hi = order_stat(k1)
+    return lo + (v - k0) * (hi - lo)
+
+
+def quantiles_u8(x: jnp.ndarray, qs) -> jnp.ndarray:
+    """Exact np.percentile over trailing two dims for u8-grid data in [0,1].
+    Returns (..., len(qs)) in [0,1]."""
+    lead = x.shape[:-2]
+    n = x.shape[-2] * x.shape[-1]
+    hist = histogram256(_to_u8(x).reshape(lead + (-1,)))
+    return _quantile_from_hist(hist, qs, n) / 255.0
+
+
+def quantiles_approx(x: jnp.ndarray, qs, bins: int = 1024) -> jnp.ndarray:
+    """Histogram-approximate quantiles over trailing two dims for continuous
+    data (error <= one bin width of the per-image range)."""
+    lead = x.shape[:-2]
+    n = x.shape[-2] * x.shape[-1]
+    lo = jnp.min(x, axis=(-2, -1), keepdims=True)
+    hi = jnp.max(x, axis=(-2, -1), keepdims=True)
+    scale = jnp.maximum(hi - lo, 1e-12)
+    v = jnp.clip(((x - lo) / scale * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    v = v.reshape(lead + (-1,))
+    b = 1
+    for d_ in lead:
+        b *= d_
+    row = jnp.arange(b, dtype=jnp.int32)[:, None]
+    flat_idx = (row * bins + v.reshape(b, -1)).reshape(-1)
+    hist = jnp.zeros((b * bins,), jnp.float32).at[flat_idx].add(1.0)
+    hist = hist.reshape(lead + (bins,))
+    q = _quantile_from_hist(hist, qs, n) / (bins - 1)
+    return q * scale.reshape(lead + (1,)) + lo.reshape(lead + (1,))
+
+
 def percentile_stretch(x: jnp.ndarray, p_low: float = 0.5, p_high: float = 99.5,
                        axes: tuple[int, ...] = (-2, -1)) -> jnp.ndarray:
     """Percentile contrast stretch to [0,1]
-    (reference normalize_image, fingerprint_preprocess.py:20)."""
-    lo = jnp.percentile(x, p_low, axis=axes, keepdims=True)
-    hi = jnp.percentile(x, p_high, axis=axes, keepdims=True)
-    return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-8), 0.0, 1.0)
+    (reference normalize_image, fingerprint_preprocess.py:20).
+
+    Input images are uint8-valued (the reference loads 8-bit files), so the
+    percentiles are computed exactly from a 256-bin histogram instead of a
+    per-image sort. Inputs are quantized through the u8 grid first — the
+    reference operates on uint8 anyway.
+    """
+    xq = _to_u8(x).astype(jnp.float32) / 255.0
+    q = quantiles_u8(xq, jnp.asarray([p_low, p_high]))
+    lo = q[..., 0][..., None, None]
+    hi = q[..., 1][..., None, None]
+    return jnp.clip((xq - lo) / jnp.maximum(hi - lo, 1e-8), 0.0, 1.0)
 
 
 def _otsu_from_hist(hist: jnp.ndarray) -> jnp.ndarray:

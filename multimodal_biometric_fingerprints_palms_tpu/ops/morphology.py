@@ -110,6 +110,8 @@ def binary_reconstruction_by_dilation(marker: jnp.ndarray, mask: jnp.ndarray,
     from .filters import conv2d_same
     k = jnp.ones((3, 3), jnp.float32)
     marker = jnp.logical_and(marker.astype(bool), mask.astype(bool))
+    # prevent producer recomputation inside the while loop
+    marker, mask = lax.optimization_barrier((marker, mask.astype(bool)))
 
     def grow(m):
         for _ in range(substeps):
@@ -160,6 +162,7 @@ def reconstruction_by_dilation(marker: jnp.ndarray, mask: jnp.ndarray,
     bounded `lax.while_loop`. Requires marker <= mask.
     """
     marker = jnp.minimum(marker.astype(jnp.float32), mask.astype(jnp.float32))
+    marker, mask = lax.optimization_barrier((marker, mask))
 
     def cond(state):
         m, prev, i = state

@@ -60,7 +60,10 @@ def compute_orientation_field(
     f = img.astype(jnp.float32)
 
     if invert_if_needed:
-        med = jnp.median(f, axis=(-2, -1), keepdims=True)
+        from .histogram import quantiles_u8
+        # inputs sit on the u8 grid (8-bit files / CLAHE LUT outputs), so the
+        # median comes exactly from a 256-bin histogram — no per-image sort
+        med = quantiles_u8(f, jnp.asarray([50.0]))[..., 0][..., None, None]
         above = jnp.sum(jnp.where(f > med, f, 0.0), axis=(-2, -1), keepdims=True)
         n_above = jnp.sum(jnp.where(f > med, 1.0, 0.0), axis=(-2, -1), keepdims=True)
         below = jnp.sum(jnp.where(f <= med, f, 0.0), axis=(-2, -1), keepdims=True)
@@ -75,8 +78,11 @@ def compute_orientation_field(
     gxy = gaussian_blur(gx * gy, smooth_sigma)
 
     rel = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
-    lo = jnp.percentile(rel, reliability_clip[0], axis=(-2, -1), keepdims=True)
-    hi = jnp.percentile(rel, reliability_clip[1], axis=(-2, -1), keepdims=True)
+    from .histogram import quantiles_approx
+    # histogram quantiles (error <= range/2048) instead of per-image sorts
+    q = quantiles_approx(rel, jnp.asarray(list(reliability_clip)), bins=2048)
+    lo = q[..., 0][..., None, None]
+    hi = q[..., 1][..., None, None]
     rel = jnp.clip((rel - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
 
     theta = 0.5 * jnp.arctan2(2.0 * gxy, (gxx - gyy) + 1e-12) + jnp.pi / 2.0

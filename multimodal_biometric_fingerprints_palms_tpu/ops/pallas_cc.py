@@ -39,22 +39,18 @@ def _shift_no_wrap(x: jnp.ndarray, shift: int, axis: int, fill) -> jnp.ndarray:
     return jnp.where(idx >= size + shift, fill, rolled)
 
 
-def _seg_min_doubling(v, blocked, axis: int, length: int):
+def _seg_min_doubling(v, blocked, axis: int, length: int, reverse: bool):
+    """Segmented prefix (or suffix, when reverse) min via log-doubling.
+    Reverse scans use negative shifts directly — Mosaic has no `rev`."""
+    sgn = -1 if reverse else 1
     shift = 1
     while shift < length:
-        v_s = _shift_no_wrap(v, shift, axis, _INF)
-        b_s = _shift_no_wrap(blocked, shift, axis, jnp.float32(1.0))
+        v_s = _shift_no_wrap(v, sgn * shift, axis, _INF)
+        b_s = _shift_no_wrap(blocked, sgn * shift, axis, 1.0)
         v = jnp.where(blocked > 0.5, v, jnp.minimum(v, v_s))
         blocked = jnp.maximum(blocked, b_s)
         shift *= 2
     return v
-
-
-def _flip(x, axis):
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    # reverse via roll-based trick is awkward; use jnp.flip (supported
-    # as a lax.rev, which Mosaic handles)
-    return jnp.flip(x, axis)
 
 
 def _cc_kernel(mask_ref, label_ref, *, h: int, w: int, connectivity: int,
@@ -69,14 +65,8 @@ def _cc_kernel(mask_ref, label_ref, *, h: int, w: int, connectivity: int,
     label0 = jnp.where(fg, lin, _INF)
 
     def scan_dir(v, axis, reverse):
-        if reverse:
-            v = _flip(v, axis)
-            b = _flip(not_fg, axis)
-        else:
-            b = not_fg
-        out = _seg_min_doubling(v, b, axis, h if axis == 0 else w)
-        if reverse:
-            out = _flip(out, axis)
+        out = _seg_min_doubling(v, not_fg, axis, h if axis == 0 else w,
+                                reverse)
         return jnp.where(fg, out, _INF)
 
     def stencil(v):

@@ -65,7 +65,7 @@ def _zhang_suen_subpass(img: jnp.ndarray, first: bool) -> jnp.ndarray:
 
 def skeletonize(mask: jnp.ndarray, max_iters: int = 128) -> jnp.ndarray:
     """Zhang-Suen thinning to a 1-px-wide skeleton. mask: boolean (..., H, W)."""
-    img0 = mask.astype(jnp.int32)
+    img0 = lax.optimization_barrier(mask.astype(jnp.int32))
 
     def cond(state):
         img, prev, i = state
