@@ -55,14 +55,17 @@ def main():
         res = preprocess_fingerprint(x)
         ms = extract_minutiae(res.skeleton)
         ms = postprocess_minutiae(ms, res.skeleton)
-        return ms.count
+        return ms.count.sum()
 
     x = jnp.asarray(make_batch(batch))
 
     # Warmup / compile; one retry on transient TPU-tunnel errors.
+    # NOTE: timing pulls the scalar to the host (float()) — on the axon
+    # relay, block_until_ready returns before execution finishes, so only a
+    # value round-trip gives honest timings (docs/PERF.md).
     for attempt in range(2):
         try:
-            pipeline(x).block_until_ready()
+            float(pipeline(x))
             break
         except Exception:
             if attempt == 1:
@@ -72,7 +75,7 @@ def main():
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        pipeline(x).block_until_ready()
+        float(pipeline(x))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

@@ -28,14 +28,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pad_symmetric(x: jnp.ndarray, before: int, after: int,
+                   axis: int) -> jnp.ndarray:
+    """Symmetric (edge-repeating) pad via static slices + concat — Mosaic
+    has no `rev`, so jnp.pad(mode="symmetric") cannot lower in-kernel."""
+    size = x.shape[axis]
+
+    def row(i):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + 1)
+        return x[tuple(sl)]
+
+    pieces = [row(before - 1 - k) for k in range(before)]
+    pieces.append(x)
+    pieces += [row(size - 1 - k) for k in range(after)]
+    return jnp.concatenate(pieces, axis=axis)
+
+
 def _box_sum_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Separable box sum with symmetric (scipy reflect) borders, on values."""
     r = size // 2
-    p = jnp.pad(x, ((r, size - 1 - r), (0, 0)), mode="symmetric")
+    p = _pad_symmetric(x, r, size - 1 - r, 0)
     acc = jnp.zeros_like(x)
     for dy in range(size):
         acc = acc + p[dy:dy + x.shape[0], :]
-    p = jnp.pad(acc, ((0, 0), (r, size - 1 - r)), mode="symmetric")
+    p = _pad_symmetric(acc, r, size - 1 - r, 1)
     acc = jnp.zeros_like(x)
     for dx in range(size):
         acc = acc + p[:, dx:dx + x.shape[1]]
@@ -77,19 +94,22 @@ def _nlm_kernel(img_ref, out_ref, *, h_param: float, template: int,
     hh, ww = x.shape
     r = search // 2
     hn2 = (h_param / 255.0) ** 2
-    pad = jnp.pad(x, r, mode="symmetric")
 
-    def body(o, carry):
-        acc, wacc = carry
-        dy = o // search
-        dx = o % search
-        shifted = jax.lax.dynamic_slice(pad, (dy, dx), (hh, ww))
-        d2 = _box_sum_same((x - shifted) ** 2, template) / float(template * template)
-        wgt = jnp.exp(-d2 / hn2)
-        return acc + wgt * shifted, wacc + wgt
-
-    acc, wacc = jax.lax.fori_loop(
-        0, search * search, body, (jnp.zeros_like(x), jnp.zeros_like(x)))
+    # Static unroll over the search window: Mosaic requires 8/128-aligned
+    # dynamic VMEM indices, but static slices at any offset are legal
+    # (relayouted in-register). 441 offsets x (slice, SSD, box sum) stay
+    # entirely in VMEM.
+    pad = _pad_symmetric(_pad_symmetric(x, r, r, 0), r, r, 1)
+    acc = jnp.zeros_like(x)
+    wacc = jnp.zeros_like(x)
+    for dy in range(search):
+        for dx in range(search):
+            shifted = pad[dy:dy + hh, dx:dx + ww]
+            d2 = _box_sum_same((x - shifted) ** 2, template) / float(
+                template * template)
+            wgt = jnp.exp(-d2 / hn2)
+            acc = acc + wgt * shifted
+            wacc = wacc + wgt
     out_ref[0] = acc / jnp.maximum(wacc, 1e-8)
 
 
