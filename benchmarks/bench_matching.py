@@ -49,13 +49,13 @@ def main():
     a = synth_gallery(args.pairs, seed=0)
     b = synth_gallery(args.pairs, seed=1)
 
-    res = match_pairs_batch(a, b, p)
-    res.final_score.block_until_ready()
+    # value round-trip per rep: block_until_ready is async on the axon relay
+    float(match_pairs_batch(a, b, p).final_score.sum())
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        match_pairs_batch(a, b, p).final_score.block_until_ready()
+        float(match_pairs_batch(a, b, p).final_score.sum())
     dt = (time.perf_counter() - t0) / reps
 
     pairs_per_sec = args.pairs / dt

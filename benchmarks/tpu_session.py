@@ -89,11 +89,11 @@ def main():
     a = synth_gallery(256, seed=0)
     b = synth_gallery(256, seed=1)
     t0 = time.perf_counter()
-    match_pairs_batch(a, b, p).final_score.block_until_ready()
+    match_pairs_batch(a, b, p).final_score.sum().item()
     log(f"match compile+run {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(3):
-        match_pairs_batch(a, b, p).final_score.block_until_ready()
+        match_pairs_batch(a, b, p).final_score.sum().item()
     dt = (time.perf_counter() - t0) / 3
     pps = 256 / dt
     log(f"match 1:1 {pps:.0f} pairs/s (300 iters) | "
