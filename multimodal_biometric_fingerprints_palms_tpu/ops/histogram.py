@@ -3,14 +3,16 @@
 TPU-native replacements for cv2.createCLAHE (fingerprint_preprocess.py:25-29,
 46-47, 97-98) and skimage.threshold_otsu (fingerprint_preprocess.py:68, 100).
 
-Design: all histograms are built with scatter-adds into (..., 256) tensors so
-every op is batched and jit-able; CLAHE is the classic tile-histogram +
-clip/redistribute + bilinear-LUT-blend algorithm on a fixed tile grid.
+Design: histograms are one-hot bf16 contractions on the MXU (exact f32
+counts; scatter-adds are sort-based and several times slower on TPU), and
+CLAHE's bilinear LUT application is likewise matmul-shaped. Quantiles come
+from histograms instead of per-image sorts (exact for u8-grid data).
 Images are float32 in [0, 1] throughout.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 NBINS = 256
@@ -24,7 +26,10 @@ def _to_u8(x: jnp.ndarray) -> jnp.ndarray:
 def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-row 256-bin histogram. values: (..., N) int32 in [0,255].
 
-    Returns (..., 256) float32 counts.
+    Returns (..., 256) float32 counts. Computed as a one-hot bf16
+    contraction on the MXU (exact: one-hot entries are 0/1 and counts
+    accumulate in f32) — scatter-adds, the obvious formulation, are
+    sort-based and several times slower on TPU.
     """
     lead = values.shape[:-1]
     n = values.shape[-1]
@@ -32,11 +37,15 @@ def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp
     for d in lead:
         b *= d
     v = values.reshape(b, n)
-    w = jnp.ones_like(v, dtype=jnp.float32) if weights is None else (
-        weights.reshape(b, n).astype(jnp.float32))
-    row = jnp.arange(b, dtype=jnp.int32)[:, None]
-    flat_idx = (row * NBINS + v).reshape(-1)
-    hist = jnp.zeros((b * NBINS,), jnp.float32).at[flat_idx].add(w.reshape(-1))
+    oh = jax.nn.one_hot(v, NBINS, dtype=jnp.bfloat16)
+    if weights is None:
+        ones = jnp.ones((n,), jnp.bfloat16)
+        hist = jnp.einsum("bnv,n->bv", oh, ones,
+                          preferred_element_type=jnp.float32)
+    else:
+        w = weights.reshape(b, n).astype(jnp.bfloat16)
+        hist = jnp.einsum("bnv,bn->bv", oh, w,
+                          preferred_element_type=jnp.float32)
     return hist.reshape(lead + (NBINS,))
 
 
@@ -172,6 +181,62 @@ def equalize_hist(x: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(lead + (h, w))
 
 
+def _clahe_apply_matmul(v: jnp.ndarray, lut: jnp.ndarray, grid: int,
+                        wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 4-corner LUT application as one-hot bf16 matmuls.
+
+    Per-pixel LUT gathers cost ~450 ms/call at batch 128 on TPU; the same
+    selection as (pixels-onehot @ tile-LUT) batched matmuls runs ~36 ms.
+    Exact: one-hot picks the entry, and LUT values (integers <= 255) are
+    exact in bf16. Pixels are grouped by tile QUADRANT, within which the
+    four corner tiles are fixed, so every table is a static slice of the
+    edge-padded LUT grid.
+
+    v: (B, H, W) int32; lut: (B, grid, grid, 256); wy: (H,); wx: (W,).
+    """
+    b, h, w = v.shape
+    th, tw = h // grid, w // grid
+    th2, tw2 = th // 2, tw // 2
+    p2 = th2 * tw2
+
+    lutp = jnp.pad(lut, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    # (B, g, 2, th2, g, 2, tw2) -> (B, g, g, qy, qx, th2, tw2)
+    vq = v.reshape(b, grid, 2, th2, grid, 2, tw2).transpose(0, 1, 4, 2, 5, 3, 6)
+    wy_q = wy.reshape(grid, 2, th2)
+    wx_q = wx.reshape(grid, 2, tw2)
+
+    out_quads = []
+    for qy in range(2):
+        row_quads = []
+        for qx in range(2):
+            vqq = vq[:, :, :, qy, qx].reshape(b, grid, grid, p2)
+            oh = jax.nn.one_hot(vqq, NBINS, dtype=jnp.bfloat16)
+            acc = jnp.zeros((b, grid, grid, p2), jnp.float32)
+            for a in range(2):
+                w_y = wy_q[:, qy, :] if a == 1 else 1.0 - wy_q[:, qy, :]
+                for c in range(2):
+                    w_x = wx_q[:, qx, :] if c == 1 else 1.0 - wx_q[:, qx, :]
+                    table = lutp[:, qy + a:qy + a + grid,
+                                 qx + c:qx + c + grid, :].astype(jnp.bfloat16)
+                    mapped = jnp.einsum(
+                        "bxypv,bxyv->bxyp", oh, table,
+                        preferred_element_type=jnp.float32)
+                    # (gy, gx, th2, tw2)
+                    wgt = w_y[:, None, :, None] * w_x[None, :, None, :]
+                    acc = acc + mapped * wgt.reshape(grid, grid, p2)[None]
+            row_quads.append(acc.reshape(b, grid, grid, th2, tw2))
+        out_quads.append(row_quads)
+
+    # reassemble quadrants -> (B, H, W)
+    top = jnp.stack([out_quads[0][0], out_quads[0][1]], axis=4)
+    bot = jnp.stack([out_quads[1][0], out_quads[1][1]], axis=4)
+    # dims: (b, gy, gx, th2, qx, tw2) stacked over qy at axis 3
+    full = jnp.stack([top, bot], axis=3)  # (b, gy, gx, qy, th2, qx, tw2)
+    full = full.transpose(0, 1, 3, 4, 2, 5, 6).reshape(b, h, w)
+    return full
+
+
 def clahe(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization.
 
@@ -208,14 +273,28 @@ def clahe(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8) -> jnp.ndarray
     # tile coordinate = pixel / tile_size - 0.5).
     yy = jnp.arange(h, dtype=jnp.float32) / th - 0.5
     xx = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    wy1 = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
+    wy1 = jnp.where(yy < 0, 0.0, jnp.where(yy > grid - 1, 1.0, wy1))
+    wx1 = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)
+    wx1 = jnp.where(xx < 0, 0.0, jnp.where(xx > grid - 1, 1.0, wx1))
+
+    if th % 2 == 0 and tw % 2 == 0:
+        # matmul LUT application (see _clahe_apply_matmul)
+        b = 1
+        for d_ in lead:
+            b *= d_
+        out = _clahe_apply_matmul(
+            v.reshape((b, h, w)), lut.reshape((b, grid, grid, NBINS)),
+            grid, wy1, wx1)
+        return jnp.clip(out.reshape(lead + (h, w)) / 255.0, 0.0, 1.0)
+
+    # gather fallback for odd tile sizes
     y0 = jnp.clip(jnp.floor(yy), 0, grid - 1).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(xx), 0, grid - 1).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, grid - 1)
     x1 = jnp.minimum(x0 + 1, grid - 1)
-    wy = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
-    wy = jnp.where(yy < 0, 0.0, jnp.where(yy > grid - 1, 1.0, wy))[:, None]
-    wx = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)
-    wx = jnp.where(xx < 0, 0.0, jnp.where(xx > grid - 1, 1.0, wx))[None, :]
+    wy = wy1[:, None]
+    wx = wx1[None, :]
 
     lut_flat = lut.reshape(lead + (grid * grid * NBINS,))
 
