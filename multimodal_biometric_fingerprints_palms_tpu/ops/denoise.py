@@ -21,33 +21,55 @@ from jax import lax
 from .filters import box_filter
 
 
+def _box_shift_add(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable box MEAN via fused static shift-adds (symmetric border) —
+    avoids per-call lax.conv overhead inside the NLM offset loop."""
+    r = size // 2
+    pad_spec = [(0, 0)] * (x.ndim - 2)
+    p = jnp.pad(x, pad_spec + [(r, size - 1 - r), (0, 0)], mode="symmetric")
+    h, w = x.shape[-2:]
+    acc = p[..., 0:h, :]
+    for dy in range(1, size):
+        acc = acc + p[..., dy:dy + h, :]
+    p = jnp.pad(acc, pad_spec + [(0, 0), (r, size - 1 - r)], mode="symmetric")
+    acc = p[..., :, 0:w]
+    for dx in range(1, size):
+        acc = acc + p[..., :, dx:dx + w]
+    return acc / float(size * size)
+
+
 def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
                 search_window: int = 21) -> jnp.ndarray:
-    """Non-local means over (..., H, W) in [0,1]."""
-    hn = (h / 255.0) * 1.0
+    """Non-local means over (..., H, W) in [0,1].
+
+    Structured as a `lax.scan` over the 21 row offsets with the 21 column
+    offsets unrolled inside each step (one dynamic slice of a row strip,
+    then static sub-slices — 21x fewer scan steps than offset-per-step),
+    with the patch-SSD box filter as fused static shift-adds.
+    """
+    hn = h / 255.0
     r = search_window // 2
     hh, ww = x.shape[-2:]
-    pad = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)], mode="reflect")
-
-    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
-                                indexing="ij"), axis=-1).reshape(-1, 2)
-    offs = jnp.asarray(offs, dtype=jnp.int32)
+    lead_pads = [(0, 0)] * (x.ndim - 2)
+    pad = jnp.pad(x, lead_pads + [(r, r), (r, r)], mode="reflect")
 
     lead_idx = (0,) * (x.ndim - 2)
+    dys = jnp.arange(search_window, dtype=jnp.int32)
 
-    def shift(dy, dx):
-        start = lead_idx + (r + dy, r + dx)
-        return lax.dynamic_slice(pad, start, x.shape)
-
-    def step(carry, off):
+    def step(carry, dy):
         acc, wacc = carry
-        dy, dx = off[0], off[1]
-        shifted = shift(dy, dx)
-        d2 = box_filter((x - shifted) ** 2, template_window)
-        wgt = jnp.exp(-d2 / (hn * hn))
-        return (acc + wgt * shifted, wacc + wgt), None
+        strip = lax.dynamic_slice(
+            pad, lead_idx + (dy, 0), x.shape[:-2] + (hh, ww + 2 * r))
+        for dx in range(search_window):
+            shifted = strip[..., :, dx:dx + ww]
+            d2 = _box_shift_add((x - shifted) ** 2, template_window)
+            wgt = jnp.exp(-d2 / (hn * hn))
+            acc = acc + wgt * shifted
+            wacc = wacc + wgt
+        return (acc, wacc), None
 
-    (acc, wacc), _ = lax.scan(step, (jnp.zeros_like(x), jnp.zeros_like(x)), offs)
+    (acc, wacc), _ = lax.scan(
+        step, (jnp.zeros_like(x), jnp.zeros_like(x)), dys)
     return acc / jnp.maximum(wacc, 1e-8)
 
 
