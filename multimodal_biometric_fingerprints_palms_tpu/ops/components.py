@@ -28,6 +28,7 @@ PolyU resolutions).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -174,28 +175,86 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
 
 
 def component_sizes(label: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Pixel count per component root: (..., H*W+1); slot H*W is background."""
+    """Pixel count per component root: (..., H*W+1); slot H*W is background.
+
+    Built as a two-level one-hot contraction on the MXU: labels decompose
+    as hi*256+lo, and count[hi, lo] = sum_p onehot_hi(p) x onehot_lo(p) —
+    one batched bf16 matmul with exact f32 accumulation. The scatter-add
+    form (sort-based on TPU) measured ~5-10x slower. Batch is chunked to
+    bound the one-hot transients.
+    """
     h, w = label.shape[-2:]
     hw = h * w
     lead = label.shape[:-2]
     b = 1
     for d in lead:
         b *= d
+    nhi = (hw + 256) // 256  # covers the hw background bin
     lab = jnp.where(mask, label, hw).reshape(b, hw)
-    row = jnp.arange(b, dtype=jnp.int32)[:, None]
-    flat = (row * (hw + 1) + lab).reshape(-1)
-    sizes = jnp.zeros((b * (hw + 1),), jnp.float32).at[flat].add(1.0)
+
+    def count_chunk(lab_c):
+        hi = lab_c // 256
+        lo = lab_c % 256
+        oh_hi = jax.nn.one_hot(hi, nhi, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(lo, 256, dtype=jnp.bfloat16)
+        return jnp.einsum("bph,bpl->bhl", oh_hi, oh_lo,
+                          preferred_element_type=jnp.float32)
+
+    chunk = 16
+    if b <= chunk:
+        count = count_chunk(lab)
+    else:
+        pad = (-b) % chunk
+        lab_p = jnp.concatenate(
+            [lab, jnp.full((pad, hw), hw, lab.dtype)]) if pad else lab
+        count = lax.map(count_chunk,
+                        lab_p.reshape(-1, chunk, hw)).reshape(-1, nhi, 256)[:b]
+
+    sizes = count.reshape(b, nhi * 256)[:, :hw + 1]
     return sizes.reshape(lead + (hw + 1,))
 
 
 def _gather_by_label(values: jnp.ndarray, label: jnp.ndarray,
                      mask: jnp.ndarray) -> jnp.ndarray:
-    """values: (..., H*W+1) per-root table -> per-pixel (..., H, W)."""
+    """values: (..., H*W+1) per-root table -> per-pixel (..., H, W).
+
+    Two-level one-hot matmul instead of a flat gather (slow on TPU). bf16
+    is exact for table values < 256; larger component sizes round by <1%,
+    which cannot flip the <=150 size thresholds these lookups feed.
+    """
     h, w = label.shape[-2:]
     hw = h * w
-    lab = jnp.where(mask, label, hw)
     lead = label.shape[:-2]
-    out = jnp.take_along_axis(values, lab.reshape(lead + (-1,)), axis=-1)
+    b = 1
+    for d in lead:
+        b *= d
+    nhi = (hw + 256) // 256
+    lab = jnp.where(mask, label, hw).reshape(b, hw)
+    pad_v = jnp.zeros(lead + (nhi * 256 - (hw + 1),), values.dtype)
+    table = jnp.concatenate([values, pad_v], axis=-1).reshape(b, nhi, 256)
+
+    def chunk_fn(args):
+        lab_c, tbl_c = args
+        hi = lab_c // 256
+        lo = lab_c % 256
+        oh_hi = jax.nn.one_hot(hi, nhi, dtype=jnp.bfloat16)
+        tmp = jnp.einsum("bph,bhl->bpl", oh_hi, tbl_c.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        oh_lo = jax.nn.one_hot(lo, 256, dtype=jnp.float32)
+        return jnp.sum(tmp * oh_lo, axis=-1)
+
+    chunk = 16
+    if b <= chunk:
+        out = chunk_fn((lab, table))
+    else:
+        pad = (-b) % chunk
+        if pad:
+            lab = jnp.concatenate([lab, jnp.full((pad, hw), hw, lab.dtype)])
+            table = jnp.concatenate(
+                [table, jnp.zeros((pad, nhi, 256), table.dtype)])
+        out = lax.map(chunk_fn, (lab.reshape(-1, chunk, hw),
+                                 table.reshape(-1, chunk, nhi, 256))
+                      ).reshape(-1, hw)[:b]
     return out.reshape(label.shape)
 
 
