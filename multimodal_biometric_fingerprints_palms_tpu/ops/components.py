@@ -110,15 +110,24 @@ def _seg_min_scan(label: jnp.ndarray, fg: jnp.ndarray, axis: int,
     return out
 
 
-# Implementation selector, read at trace time: "xla" (default) or "pallas"
-# (VMEM-resident kernel, ops/pallas_cc.py). Set before jit-compiling.
-CC_IMPL = "xla"
+# Implementation selector, read at trace time: "auto" picks the Pallas
+# VMEM-resident kernel on TPU (ops/pallas_cc.py; whole relaxation on-chip,
+# ~3x the XLA doubling scans) and the XLA form elsewhere. Set "xla"/"pallas"
+# to force, before jit-compiling.
+CC_IMPL = "auto"
 
 
 def set_cc_impl(impl: str) -> None:
     global CC_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("auto", "xla", "pallas"), impl
     CC_IMPL = impl
+
+
+def _use_pallas_cc() -> bool:
+    if CC_IMPL == "auto":
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    return CC_IMPL == "pallas"
 
 
 def connected_components(mask: jnp.ndarray, connectivity: int = 2,
@@ -126,7 +135,7 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
     # max_iters is a worst-case bound (pure-diagonal 8-conn chains advance
     # one pixel per sweep); the while_loop exits at convergence, which for
     # ridge masks takes ~10-20 sweeps.
-    if CC_IMPL == "pallas":
+    if _use_pallas_cc():
         from .pallas_cc import connected_components_pallas
         return connected_components_pallas(mask, connectivity, max_iters)
     """Label connected components of a boolean mask (..., H, W).
