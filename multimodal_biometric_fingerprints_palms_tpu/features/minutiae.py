@@ -110,11 +110,17 @@ def extract_minutiae(skel: jnp.ndarray, k: int = 64) -> MinutiaeSet:
     # tiny searches/gathers (a full top_k over 81920 keys measured ~190 ms
     # on TPU; this runs in ~1 ms).
     ranks = jnp.cumsum(flat.astype(jnp.int32), axis=-1)       # (b, hw)
-    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    # index of rank r = count of positions with cumsum < r; the broadcast
-    # compare-and-reduce fuses on the VPU (no gathers, unlike searchsorted).
-    top_idx = jnp.sum((ranks[:, :, None] < targets[None, None, :])
-                      .astype(jnp.int32), axis=1)
+    # index of rank r = #positions with cumsum < r. Since ranks is
+    # nondecreasing, that count equals the inclusive cumsum of the
+    # histogram of min(ranks, k) below r — one (b, hw, k+1) one-hot bf16
+    # contraction on the MXU instead of a (b, hw, k) broadcast compare
+    # (which materialized ~200 ms of traffic at batch 128).
+    clipped = jnp.minimum(ranks, k)
+    oh = jax.nn.one_hot(clipped, k + 1, dtype=jnp.bfloat16)
+    ones = jnp.ones((hw,), jnp.bfloat16)
+    hist = jnp.einsum("bpv,p->bv", oh, ones,
+                      preferred_element_type=jnp.float32)    # (b, k+1)
+    top_idx = jnp.cumsum(hist[:, :k].astype(jnp.int32), axis=-1)
     top_idx = jnp.minimum(top_idx, hw - 1).astype(jnp.int32)  # (b, k)
     out_y = (top_idx // w).astype(jnp.int32)
     out_x = (top_idx % w).astype(jnp.int32)

@@ -85,21 +85,28 @@ def quantiles_u8(x: jnp.ndarray, qs) -> jnp.ndarray:
 
 def quantiles_approx(x: jnp.ndarray, qs, bins: int = 1024) -> jnp.ndarray:
     """Histogram-approximate quantiles over trailing two dims for continuous
-    data (error <= one bin width of the per-image range)."""
+    data (error <= one bin width of the per-image range).
+
+    The ``bins``-wide histogram is a two-level one-hot contraction
+    (bin = hi*256 + lo) — MXU matmuls instead of a scatter-add.
+    """
+    assert bins % 256 == 0, bins
     lead = x.shape[:-2]
     n = x.shape[-2] * x.shape[-1]
     lo = jnp.min(x, axis=(-2, -1), keepdims=True)
     hi = jnp.max(x, axis=(-2, -1), keepdims=True)
     scale = jnp.maximum(hi - lo, 1e-12)
     v = jnp.clip(((x - lo) / scale * (bins - 1)).astype(jnp.int32), 0, bins - 1)
-    v = v.reshape(lead + (-1,))
     b = 1
     for d_ in lead:
         b *= d_
-    row = jnp.arange(b, dtype=jnp.int32)[:, None]
-    flat_idx = (row * bins + v.reshape(b, -1)).reshape(-1)
-    hist = jnp.zeros((b * bins,), jnp.float32).at[flat_idx].add(1.0)
-    hist = hist.reshape(lead + (bins,))
+    v = v.reshape(b, n)
+    nhi = bins // 256
+    oh_hi = jax.nn.one_hot(v // 256, nhi, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(v % 256, 256, dtype=jnp.bfloat16)
+    hist = jnp.einsum("bph,bpl->bhl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32).reshape(
+                          lead + (bins,))
     q = _quantile_from_hist(hist, qs, n) / (bins - 1)
     return q * scale.reshape(lead + (1,)) + lo.reshape(lead + (1,))
 
