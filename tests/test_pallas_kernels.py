@@ -30,5 +30,5 @@ def test_sauvola_pallas_matches_xla(rng):
 def test_nlm_pallas_matches_xla(rng):
     x = jnp.asarray(rng.random((1, 40, 64)).astype(np.float32))
     ours = np.asarray(nlm_denoise_pallas(x, interpret=True))
-    ref = np.asarray(nlm_denoise(x))
+    ref = np.asarray(nlm_denoise(x, precision="f32"))
     np.testing.assert_allclose(ours, ref, atol=2e-3)
