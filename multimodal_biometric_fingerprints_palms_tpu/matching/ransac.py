@@ -182,8 +182,17 @@ def match_minutiae_pair(a: MinutiaeSet, b: MinutiaeSet,
     h_score, h_n, h_theta, h_t = (
         x.reshape((n_chunks * chunk,) + x.shape[2:])[:p.ransac_iter]
         for x in (h_score, h_n, h_theta, h_t))
+    return _finish_match(a, b, wa, wb, possible, na, nb, reject,
+                         h_score, h_n, h_theta, h_t, p)
+
+
+def _finish_match(a: MinutiaeSet, b: MinutiaeSet, wa, wb, possible, na, nb,
+                  reject, h_score, h_n, h_theta, h_t,
+                  p: MatchParams) -> MatchResult:
+    """Selection + Kabsch refine + cross-check + final score, shared by the
+    XLA and Pallas hypothesis-scoring paths (match.py:158-275)."""
     h_score = jnp.where(reject, 0.0, h_score)
-    h_n = jnp.where(reject, 0, h_n)
+    h_n = jnp.where(reject, jnp.zeros_like(h_n), h_n)
 
     # Deterministic early-stop-or-best selection (:158-167).
     stop_count = p.stop_inlier_ratio * jnp.minimum(na, nb).astype(jnp.float32)

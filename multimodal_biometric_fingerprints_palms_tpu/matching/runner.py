@@ -32,6 +32,14 @@ from ..utils.logging import console_step, get_file_logger
 from .dataset import load_dataset, genuine_pairs, impostor_pairs, MinutiaeDataset
 from .ransac import MatchParams, match_pairs_batch
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _jit_pallas_batch(a, b, params):
+    from .pallas_match import match_pairs_batch_pallas
+    return match_pairs_batch_pallas(a, b, params)
+
 logger = get_file_logger(__name__, "data/metadata/matching.log")
 
 
@@ -78,7 +86,11 @@ def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
             idx = np.concatenate([idx, np.tile(idx[-1:], (chunk - real, 1))])
         a = jax.tree.map(lambda x: x[idx[:, 0]], ds.stacked)
         b = jax.tree.map(lambda x: x[idx[:, 1]], ds.stacked)
-        res = match_pairs_batch(a, b, params)
+        if jax.default_backend() == "tpu":
+            from .pallas_match import match_pairs_batch_pallas
+            res = _jit_pallas_batch(a, b, params)
+        else:
+            res = match_pairs_batch(a, b, params)
         out_scores.append(np.asarray(res.final_score)[:real])
         out_inl.append(np.asarray(res.n_inliers)[:real])
         out_theta.append(np.asarray(res.theta)[:real])

@@ -35,3 +35,44 @@ def test_pallas_cc_matches_xla(rng):
                                                interpret=True))
     b = np.asarray(connected_components(jnp.asarray(x), 2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_match_parity(rng):
+    """Pallas hypothesis-scoring path matches the XLA matcher end to end."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.matching import (
+        MatchParams, match_pairs_batch,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.matching.pallas_match import (
+        match_pairs_batch_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.features.minutiae import (
+        MinutiaeSet,
+    )
+
+    k, n, pnum = 64, 20, 4
+    sets = []
+    for i in range(pnum * 2):
+        g = np.random.default_rng(i // 2)  # pairs share constellations
+        xy = np.zeros((k, 2), np.float32)
+        xy[:n] = g.random((n, 2)).astype(np.float32) * 120 + 60
+        if i % 2:
+            xy[:n] += rng.normal(0, 0.7, (n, 2)).astype(np.float32)
+        ori = np.zeros((k,), np.float32)
+        ori[:n] = (g.random(n).astype(np.float32) - 0.5) * np.pi
+        ty = np.zeros((k,), np.int32); ty[:n] = (g.random(n) > 0.5)
+        q = np.zeros((k,), np.float32); q[:n] = 0.5 + 0.5 * g.random(n)
+        valid = np.zeros((k,), bool); valid[:n] = True
+        sets.append(MinutiaeSet(xy=xy, minutia_type=ty, orientation=ori,
+                                quality=q, coherence=q, angular_stability=q,
+                                valid=valid))
+    a = jax.tree.map(lambda *x: jnp.asarray(np.stack(x)), *sets[0::2])
+    b = jax.tree.map(lambda *x: jnp.asarray(np.stack(x)), *sets[1::2])
+    p = MatchParams(ransac_iter=48, min_inliers=6)
+    r1 = match_pairs_batch(a, b, p)
+    r2 = match_pairs_batch_pallas(a, b, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(r1.final_score),
+                               np.asarray(r2.final_score), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r1.n_inliers),
+                                  np.asarray(r2.n_inliers))
