@@ -92,6 +92,7 @@ def _match_kernel(ax_ref, ay_ref, aori_ref, atype_ref, wa_ref,
     wab = wa[:, None] * wb[None, :]
     valid_pair = avalid[:, None] * bvalid[None, :]
     valid_col = bvalid[None, :] > 0.5
+    col_idx = lax.broadcasted_iota(jnp.int32, (k, k), 1)
 
     # One hypothesis per loop iteration. (A grouped 3-D variant
     # SIGABRTed the remote Mosaic compiler; grouping is a round-2 item.)
@@ -110,16 +111,12 @@ def _match_kernel(ax_ref, ay_ref, aori_ref, atype_ref, wa_ref,
         d2 = jnp.where(valid_col, d2, _BIG)
         d2min = jnp.min(d2, axis=1, keepdims=True)
 
-        # first-argmin indicator without gathers: equality + prefix-count
-        eq = (d2 == d2min).astype(jnp.float32)
-        pref = eq
-        shift = 1
-        while shift < k:  # inclusive prefix-sum along lanes, log steps
-            rolled = pltpu.roll(pref, shift, 1)
-            col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
-            pref = pref + jnp.where(col >= shift, rolled, 0.0)
-            shift *= 2
-        first = ((eq > 0.5) & (pref < 1.5)).astype(jnp.float32)
+        # first-argmin indicator without gathers: among the row minima,
+        # keep the smallest column index (one where+min reduction instead
+        # of a log-step prefix scan)
+        eq = d2 == d2min
+        first_col = jnp.min(jnp.where(eq, col_idx, k), axis=1, keepdims=True)
+        first = (eq & (col_idx == first_col)).astype(jnp.float32)
 
         dang = aori[:, None] + th - bori[None, :]
         dang = jnp.abs(jnp.mod(dang + math.pi, 2.0 * math.pi) - math.pi)
