@@ -73,9 +73,14 @@ def compute_orientation_field(
 
     f_s = gaussian_blur(f, max(0.5, smooth_sigma / 2.0))
     gx, gy = sobel(f_s, border="mirror")  # cv2.Sobel uses BORDER_REFLECT_101
-    gxx = gaussian_blur(gx * gx, smooth_sigma)
-    gyy = gaussian_blur(gy * gy, smooth_sigma)
-    gxy = gaussian_blur(gx * gy, smooth_sigma)
+    # structure-tensor smoothing in bf16 (angles/reliability are ratio
+    # quantities; the ~0.4% bf16 noise is far below the block-aggregation
+    # smoothing that follows)
+    gxb = gx.astype(jnp.bfloat16)
+    gyb = gy.astype(jnp.bfloat16)
+    gxx = gaussian_blur(gxb * gxb, smooth_sigma).astype(jnp.float32)
+    gyy = gaussian_blur(gyb * gyb, smooth_sigma).astype(jnp.float32)
+    gxy = gaussian_blur(gxb * gyb, smooth_sigma).astype(jnp.float32)
 
     rel = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
     from .histogram import quantiles_approx
