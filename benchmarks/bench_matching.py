@@ -39,11 +39,84 @@ def synth_gallery(n: int, k: int = 64, n_min: int = 40, seed: int = 0) -> Minuti
         valid=jnp.asarray(valid))
 
 
+def synth_users_gallery(n_users: int, samples_per_user: int, k: int = 64,
+                        n_min: int = 40, seed: int = 0) -> MinutiaeSet:
+    """PolyU-structured gallery: each user is a random constellation,
+    samples are jittered copies (genuine pairs really match)."""
+    g = np.random.default_rng(seed)
+    n = n_users * samples_per_user
+    xy = np.zeros((n, k, 2), np.float32)
+    ori = np.zeros((n, k), np.float32)
+    ty = np.zeros((n, k), np.int32)
+    q = np.zeros((n, k), np.float32)
+    valid = np.zeros((n, k), bool)
+    i = 0
+    for u in range(n_users):
+        base_xy = g.random((n_min, 2), dtype=np.float32) * 180 + 40
+        base_ori = (g.random(n_min, dtype=np.float32) - 0.5) * np.pi
+        base_ty = (g.random(n_min) > 0.5).astype(np.int32)
+        base_q = 0.4 + 0.6 * g.random(n_min, dtype=np.float32)
+        for _ in range(samples_per_user):
+            xy[i, :n_min] = base_xy + g.normal(0, 1.0, (n_min, 2))
+            ori[i, :n_min] = base_ori
+            ty[i, :n_min] = base_ty
+            q[i, :n_min] = base_q
+            valid[i, :n_min] = True
+            i += 1
+    return MinutiaeSet(
+        xy=jnp.asarray(xy), minutia_type=jnp.asarray(ty),
+        orientation=jnp.asarray(ori), quality=jnp.asarray(q),
+        coherence=jnp.asarray(q), angular_stability=jnp.asarray(q),
+        valid=jnp.asarray(valid))
+
+
+def bench_allpairs(iters: int, cascade: bool, n_users: int = 148,
+                   samples: int = 10):
+    """Full-gallery all-unique-pairs (the BASELINE.json north star:
+    1480-template PolyU all-pairs)."""
+    from multimodal_biometric_fingerprints_palms_tpu.parallel import (
+        create_mesh, all_pairs_unique, unique_pairs)
+
+    n = n_users * samples
+    gallery = synth_users_gallery(n_users, samples)
+    mesh = create_mesh(len(jax.devices()))
+    p = MatchParams(ransac_iter=iters)
+
+    # warm-up compiles (screen + full phase)
+    all_pairs_unique(jax.tree.map(lambda x: x[:256], gallery), mesh, p,
+                     chunk=2048, cascade=cascade)
+
+    t0 = time.perf_counter()
+    scores = all_pairs_unique(gallery, mesh, p, chunk=2048, cascade=cascade)
+    dt = time.perf_counter() - t0
+
+    pairs = unique_pairs(n)
+    labels = np.repeat(np.arange(n_users), samples)
+    same = labels[pairs[:, 0]] == labels[pairs[:, 1]]
+    print(json.dumps({
+        "metric": f"all-pairs {n} templates (iters={iters}, "
+                  f"cascade={cascade}, {len(jax.devices())} dev)",
+        "value": round(pairs.shape[0] / dt, 1),
+        "unit": "pairs/sec",
+        "seconds": round(dt, 2),
+        "unique_pairs": int(pairs.shape[0]),
+        "genuine_mean": round(float(scores[same].mean()), 4),
+        "impostor_mean": round(float(scores[~same].mean()), 6),
+        "impostor_q999": round(float(np.quantile(scores[~same], 0.999)), 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=512)
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--allpairs", action="store_true")
+    ap.add_argument("--no-cascade", action="store_true")
     args = ap.parse_args()
+
+    if args.allpairs:
+        bench_allpairs(args.iters, cascade=not args.no_cascade)
+        return
 
     p = MatchParams(ransac_iter=args.iters)
     a = synth_gallery(args.pairs, seed=0)

@@ -30,34 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..features.minutiae import MinutiaeSet
-from .ransac import MatchParams, compute_descriptor_weights, _angle_diff, _apply_rigid
+from .ransac import (MatchParams, compute_descriptor_weights, _angle_diff,
+                     _apply_rigid, sample_hypotheses, hypothesis_uniforms)
 
 _BIG = 1e9
-
-
-def sample_hypotheses(a: MinutiaeSet, b: MinutiaeSet, wa, wb,
-                      p: MatchParams):
-    """Reproduce ransac.py's per-hypothesis sampling (same keys):
-    returns theta (H,), t (H, 2), has_cand (H,) for one pair."""
-    key = jax.random.PRNGKey(p.seed)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(p.ransac_iter))
-
-    def one(k):
-        ka, kb = jax.random.split(k)
-        logits_a = jnp.where(a.valid, jnp.log(jnp.maximum(wa, 1e-12)), -jnp.inf)
-        ia = jax.random.categorical(ka, logits_a)
-        cand = b.valid & (b.minutia_type == a.minutia_type[ia])
-        has_cand = jnp.any(cand)
-        logits_b = jnp.where(cand, jnp.log(jnp.maximum(wb, 1e-12)), -jnp.inf)
-        ib = jax.random.categorical(kb, jnp.where(has_cand, logits_b,
-                                                  jnp.zeros_like(logits_b)))
-        theta = _angle_diff(b.orientation[ib], a.orientation[ia])
-        t = b.xy[ib] - _apply_rigid(a.xy[ia], theta, jnp.zeros(2))
-        return theta, t, has_cand
-
-    theta, t, has_cand = jax.vmap(one)(keys)
-    return theta, t, has_cand.astype(jnp.float32)
 
 
 def _match_kernel(ax_ref, ay_ref, aori_ref, atype_ref, wa_ref,
@@ -139,6 +115,195 @@ def _match_kernel(ax_ref, ay_ref, aori_ref, atype_ref, wa_ref,
     lax.fori_loop(0, h_iters, body, None)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _grouped_kernel(axT_ref, ayT_ref, aoriT_ref, atypeT_ref, waT_ref,
+                    bxE_ref, byE_ref, boriE_ref, btypeE_ref, wbE_ref,
+                    sel_ref,
+                    theta_ref, tx_ref, ty_ref, cand_ref,
+                    possible_ref,
+                    score_ref, count_ref,
+                    *, k: int, g: int,
+                    dist_thresh: float, orient_thresh: float, use_type: bool,
+                    min_inliers: int):
+    """G hypotheses per grid step in one 2-D (K, K*G) layout.
+
+    Column c = j*G + g interleaves the K gallery minutiae (j, major) with the
+    G hypotheses (g, minor). A-side per-pair vectors arrive pre-broadcast as
+    (K, G) tiles and are tiled K times along lanes (`pltpu.repeat`, tile
+    semantics); B-side vectors arrive pre-interleaved as (1, K*G). The
+    group-min over j (stride G) is a log2(K) circular butterfly of
+    roll+min steps; the nearest-neighbor attributes (orientation, type,
+    weight of B's argmin) are then extracted with one-hot MXU contractions
+    against a constant (K*G, G) group selector, so all gate/score math runs
+    on small (K, G) tiles. Validity is baked into the coordinates outside
+    (invalid slots are displaced ~2e6 px apart, failing the distance gate),
+    which removes the validity masks entirely. No 3-D arrays, no gathers,
+    everything 8/128-aligned (the 3-D grouped variant SIGABRTed Mosaic in
+    round 1; this is the blocked rewrite).
+    """
+    kg = k * g
+    th = theta_ref[0, 0, 0]                    # (G,)
+    c = jnp.cos(th)[None, :]
+    s = jnp.sin(th)[None, :]
+    ax = axT_ref[0]                            # (K, G)
+    ay = ayT_ref[0]
+    tax = c * ax - s * ay + tx_ref[0, 0, 0][None, :]
+    tay = s * ax + c * ay + ty_ref[0, 0, 0][None, :]
+
+    taxE = pltpu.repeat(tax, k, axis=1)        # (K, K*G)
+    tayE = pltpu.repeat(tay, k, axis=1)
+    dx = taxE - bxE_ref[0]                     # (1, K*G) broadcasts over rows
+    dy = tayE - byE_ref[0]
+    d2 = dx * dx + dy * dy
+
+    # Group-min over j: circular butterfly (shift is always a multiple of G,
+    # so each lane only ever meets lanes of its own hypothesis).
+    log2k = k.bit_length() - 1
+    d2min = d2
+    for t in range(log2k):
+        d2min = jnp.minimum(d2min, pltpu.roll(d2min, shift=g << t, axis=1))
+
+    # First-argmin over j without gathers.
+    col = lax.broadcasted_iota(jnp.int32, (k, kg), 1)
+    j_idx = (col // g).astype(jnp.float32)
+    eq = d2 == d2min
+    firstj = jnp.where(eq, j_idx, float(k))
+    for t in range(log2k):
+        firstj = jnp.minimum(firstj, pltpu.roll(firstj, shift=g << t, axis=1))
+    first = (eq & (j_idx == firstj)).astype(jnp.float32)
+
+    # Nearest-neighbor attribute extraction: (K, K*G) @ (K*G, G) one-hot
+    # contractions on the MXU. sel[j*G+g', g] = (g' == g).
+    sel = sel_ref[:]                           # (K*G, G)
+    bori_at = jnp.dot(first * boriE_ref[0], sel,
+                      preferred_element_type=jnp.float32)      # (K, G)
+    wb_at = jnp.dot(first * wbE_ref[0], sel,
+                    preferred_element_type=jnp.float32)
+    d2_at = d2min[:, 0:g]                      # j=0 slice holds the group min
+
+    # All gate/score math on (K, G) tiles.
+    dang = aoriT_ref[0] + th[None, :] - bori_at
+    dang = jnp.abs(jnp.mod(dang + math.pi, 2.0 * math.pi) - math.pi)
+    if use_type:
+        btype_at = jnp.dot(first * btypeE_ref[0], sel,
+                           preferred_element_type=jnp.float32)
+        type_ok = (jnp.abs(atypeT_ref[0] - btype_at) < 0.5).astype(jnp.float32)
+    else:
+        type_ok = jnp.ones((k, g), jnp.float32)
+    inlier = ((d2_at <= dist_thresh * dist_thresh).astype(jnp.float32)
+              * type_ok
+              * (dang <= orient_thresh).astype(jnp.float32))
+
+    sigma_d2 = 2.0 * (dist_thresh * 0.7) ** 2
+    sigma_o2 = 2.0 * (orient_thresh * 0.7) ** 2
+    sc = (jnp.exp(-(d2_at / sigma_d2) - (dang * dang) / sigma_o2)
+          * waT_ref[0] * wb_at * inlier)
+
+    sc_g = jnp.sum(sc, axis=0)                 # (G,)
+    n_g = jnp.sum(inlier, axis=0)
+
+    has_cand = cand_ref[0, 0, 0] > 0.5
+    possible = possible_ref[0, 0, 0]
+    raw = sc_g / (possible + 1e-6)
+    score = jnp.minimum(jnp.exp(0.75 * jnp.log(jnp.maximum(raw, 1e-30))), 1.0)
+    ok = jnp.logical_and(n_g >= min_inliers, has_cand)
+    score_ref[0, 0, 0] = jnp.where(ok, score, 0.0)
+    count_ref[0, 0, 0] = jnp.where(has_cand, n_g, 0.0)
+
+
+def hypothesis_scores_pallas_grouped(a: MinutiaeSet, b: MinutiaeSet,
+                                     p: MatchParams,
+                                     interpret: bool = False,
+                                     group: int | None = None):
+    """Grouped-hypothesis Pallas scoring: G hypotheses per grid step in one
+    (K, K*G) 2-D layout (see `_grouped_kernel`). Same sampling stream and
+    outputs as `hypothesis_scores_pallas`."""
+    wa = compute_descriptor_weights(a)
+    wb = compute_descriptor_weights(b)
+    u = hypothesis_uniforms(p)  # pair-independent, generated once
+    theta, t, has_cand = jax.vmap(
+        lambda x, y, wx, wy: sample_hypotheses(x, y, wx, wy, p, u)
+    )(a, b, wa, wb)
+    possible = jnp.minimum(jnp.sum(wa, -1), jnp.sum(wb, -1))
+
+    pnum, k = a.valid.shape
+    assert k & (k - 1) == 0, f"K={k} must be a power of two"
+    h = p.ransac_iter
+    g = group or min(64, max(2, _next_pow2(h)))
+    assert (k * g) % 128 == 0, (k, g)
+    hp = -(-h // g) * g
+    n_groups = hp // g
+
+    f32 = jnp.float32
+
+    def _hyp(x):
+        # 4-D (P, n_groups, 1, G): the last two block dims then equal the
+        # array dims, as Mosaic's block-shape rule requires.
+        x = x.astype(f32)
+        if hp != h:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (hp - h,), f32)], axis=-1)
+        return x.reshape(pnum, n_groups, 1, g)
+
+    theta_in = _hyp(theta)
+    tx_in = _hyp(t[..., 0])
+    ty_in = _hyp(t[..., 1])
+    cand_in = _hyp(has_cand)
+
+    def _aT(x):  # (P, K) -> (P, K, G) lane-broadcast
+        return jnp.broadcast_to(x.astype(f32)[:, :, None], (pnum, k, g))
+
+    def _bE(x):  # (P, K) -> (P, 1, K*G) interleaved (col = j*G + g)
+        return jnp.repeat(x.astype(f32), g, axis=-1).reshape(pnum, 1, k * g)
+
+    # Validity is baked into the coordinates: invalid slots are displaced
+    # ~2e6 px apart so every invalid pairing fails the distance gate.
+    ax_v = jnp.where(a.valid, a.xy[..., 0], 1e6)
+    ay_v = jnp.where(a.valid, a.xy[..., 1], 1e6)
+    bx_v = jnp.where(b.valid, b.xy[..., 0], -1e6)
+    by_v = jnp.where(b.valid, b.xy[..., 1], -1e6)
+
+    a_args = [_aT(ax_v), _aT(ay_v), _aT(a.orientation),
+              _aT(a.minutia_type), _aT(wa)]
+    b_args = [_bE(bx_v), _bE(by_v), _bE(b.orientation),
+              _bE(b.minutia_type), _bE(wb)]
+    # Constant group selector: sel[j*G+g', g] = (g' == g).
+    sel = jnp.tile(jnp.eye(g, dtype=f32), (k, 1))              # (K*G, G)
+
+    kern = functools.partial(
+        _grouped_kernel, k=k, g=g,
+        dist_thresh=p.dist_thresh, orient_thresh=p.orient_thresh,
+        use_type=p.use_type, min_inliers=p.min_inliers)
+
+    aspec = pl.BlockSpec((1, k, g), lambda i, hh: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 1, k * g), lambda i, hh: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((k * g, g), lambda i, hh: (0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 1, 1, g), lambda i, hh: (i, hh, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 1, 1), lambda i, hh: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+
+    scores, counts = pl.pallas_call(
+        kern,
+        grid=(pnum, n_groups),
+        in_specs=[aspec] * 5 + [bspec] * 5 + [sspec] + [hspec] * 4 + [pspec],
+        out_specs=(hspec, hspec),
+        out_shape=(jax.ShapeDtypeStruct((pnum, n_groups, 1, g), f32),
+                   jax.ShapeDtypeStruct((pnum, n_groups, 1, g), f32)),
+        interpret=interpret,
+    )(*a_args, *b_args, sel, theta_in, tx_in, ty_in, cand_in,
+      possible.astype(f32).reshape(pnum, 1, 1))
+    scores = scores.reshape(pnum, hp)[:, :h]
+    counts = counts.reshape(pnum, hp)[:, :h]
+    return scores, counts, theta, t
+
+
 def hypothesis_scores_pallas(a: MinutiaeSet, b: MinutiaeSet,
                              p: MatchParams,
                              interpret: bool = False):
@@ -146,8 +311,9 @@ def hypothesis_scores_pallas(a: MinutiaeSet, b: MinutiaeSet,
     Returns (scores (P, H), counts (P, H), theta (P, H), t (P, H, 2))."""
     wa = compute_descriptor_weights(a)
     wb = compute_descriptor_weights(b)
+    u = hypothesis_uniforms(p)  # pair-independent, generated once
     theta, t, has_cand = jax.vmap(
-        lambda u, v, wu, wv: sample_hypotheses(u, v, wu, wv, p)
+        lambda x, y, wx, wy: sample_hypotheses(x, y, wx, wy, p, u)
     )(a, b, wa, wb)
     possible = jnp.minimum(jnp.sum(wa, -1), jnp.sum(wb, -1))
 
@@ -199,13 +365,17 @@ def hypothesis_scores_pallas(a: MinutiaeSet, b: MinutiaeSet,
 
 def match_pairs_batch_pallas(a: MinutiaeSet, b: MinutiaeSet,
                              p: MatchParams,
-                             interpret: bool = False):
-    """Batched 1:1 matching with Pallas hypothesis scoring (the VMEM kernel
-    above) and the shared XLA finish stage (selection, Kabsch refine,
-    cross-check). ~1.5x the all-XLA `match_pairs_batch` on TPU."""
+                             interpret: bool = False,
+                             grouped: bool = True):
+    """Batched 1:1 matching with Pallas hypothesis scoring (the grouped
+    kernel above by default; ``grouped=False`` falls back to the round-1
+    one-hypothesis-per-step kernel) and the shared XLA finish stage
+    (selection, Kabsch refine, cross-check)."""
     from .ransac import _finish_match, _masked_mean
 
-    scores, counts, theta, t = hypothesis_scores_pallas(a, b, p, interpret)
+    fn = (hypothesis_scores_pallas_grouped if grouped
+          else hypothesis_scores_pallas)
+    scores, counts, theta, t = fn(a, b, p, interpret)
     wa = compute_descriptor_weights(a)
     wb = compute_descriptor_weights(b)
 

@@ -82,23 +82,43 @@ def _sqdist(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
     the contraction runs on the MXU (the KDTree replacement, match.py:46-48)."""
     aa = jnp.sum(pa * pa, axis=-1, keepdims=True)
     bb = jnp.sum(pb * pb, axis=-1)
-    ab = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32)
+    ab = jnp.dot(pa, pb.T, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
     return jnp.maximum(aa - 2.0 * ab + bb[None, :], 0.0)
+
+
+def _nn_onehot(d2: jnp.ndarray) -> jnp.ndarray:
+    """(K, K) one-hot of each row's first argmin — the gather-free form of
+    `jnp.argmin` (first occurrence wins, matching argmin semantics)."""
+    k = d2.shape[-1]
+    d2min = jnp.min(d2, axis=-1, keepdims=True)
+    eq = d2 == d2min
+    col = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    firstcol = jnp.min(jnp.where(eq, col, k), axis=-1, keepdims=True)
+    return (eq & (col == firstcol)).astype(jnp.float32)
 
 
 def _match_with_transform(a: MinutiaeSet, b: MinutiaeSet, wa, wb, theta, t,
                           p: MatchParams):
-    """Dense rebuild of match.py:32-73. Returns (scores, inlier_mask, idx_b)
-    per A slot."""
+    """Dense rebuild of match.py:32-73. Returns (scores, inlier_mask, F)
+    per A slot, where F is the (K, K) one-hot nearest-neighbor indicator
+    (row i selects i's NN in B). All NN-attribute lookups are one-hot MXU
+    contractions — row gathers are pathologically slow on TPU."""
     ta = _apply_rigid(a.xy, theta, t)                       # (K, 2)
     d2 = _sqdist(ta, b.xy)
     d2 = jnp.where(b.valid[None, :], d2, _BIG)              # mask invalid B
-    idx_b = jnp.argmin(d2, axis=-1)                         # NN in B per A
-    d = jnp.sqrt(jnp.take_along_axis(d2, idx_b[:, None], axis=-1)[:, 0])
+    F = _nn_onehot(d2)
+    d = jnp.sqrt(jnp.min(d2, axis=-1))
 
-    ang_err = jnp.abs(_angle_diff(a.orientation + theta, b.orientation[idx_b]))
-    type_ok = jnp.logical_or(not p.use_type,
-                             a.minutia_type == b.minutia_type[idx_b])
+    hi = lax.Precision.HIGHEST
+    b_feat = jnp.stack([b.orientation, b.minutia_type.astype(jnp.float32),
+                        wb], axis=-1)                       # (K, 3)
+    b_at = jnp.dot(F, b_feat, preferred_element_type=jnp.float32,
+                   precision=hi)
+    ang_err = jnp.abs(_angle_diff(a.orientation + theta, b_at[:, 0]))
+    type_ok = jnp.logical_or(
+        not p.use_type,
+        jnp.abs(a.minutia_type.astype(jnp.float32) - b_at[:, 1]) < 0.5)
     inlier = (a.valid & (d <= p.dist_thresh) & type_ok
               & (ang_err <= p.orient_thresh))
 
@@ -106,35 +126,85 @@ def _match_with_transform(a: MinutiaeSet, b: MinutiaeSet, wa, wb, theta, t,
     sigma_o = p.orient_thresh * 0.7
     spatial = jnp.exp(-(d ** 2) / (2.0 * sigma_d ** 2))
     orient_f = jnp.exp(-(ang_err ** 2) / (2.0 * sigma_o ** 2))
-    scores = jnp.where(inlier, spatial * orient_f * wa * wb[idx_b], 0.0)
-    return scores, inlier, idx_b
+    scores = jnp.where(inlier, spatial * orient_f * wa * b_at[:, 2], 0.0)
+    return scores, inlier, F
 
 
-def _hypothesis(key, a: MinutiaeSet, b: MinutiaeSet, wa, wb, possible,
-                p: MatchParams):
-    """One RANSAC hypothesis (match.py:75-127) under a fold_in key."""
-    ka, kb = jax.random.split(key)
+def hypothesis_uniforms(p: MatchParams) -> jnp.ndarray:
+    """(H, 2) uniforms driving hypothesis sampling. The reference reuses the
+    same seed series 42+i for every pair (match.py:146-150), so the uniforms
+    are pair-independent and are generated ONCE — per-hypothesis
+    `split`+`categorical` threefry chains were the matcher's single biggest
+    cost (58 of 68 ms per 512-pair batch on a v5e chip)."""
+    key = jax.random.PRNGKey(p.seed)
+    return jax.random.uniform(key, (p.ransac_iter, 2), jnp.float32)
 
-    # Weight-proportional sample in A (:93).
-    logits_a = jnp.where(a.valid, jnp.log(jnp.maximum(wa, 1e-12)), -jnp.inf)
-    ia = jax.random.categorical(ka, logits_a)
 
-    # Same-type candidates in B (:96-100).
-    cand = b.valid & (b.minutia_type == a.minutia_type[ia])
-    has_cand = jnp.any(cand)
-    logits_b = jnp.where(cand, jnp.log(jnp.maximum(wb, 1e-12)), -jnp.inf)
-    ib = jax.random.categorical(kb, jnp.where(has_cand, logits_b,
-                                              jnp.zeros_like(logits_b)))
+def _first_hit(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """One-hot indicator of the first index where cdf exceeds u (inverse-CDF
+    sampling without gathers; (…, K) cdf, (…, 1) u)."""
+    sel = cdf > u
+    prev = jnp.concatenate(
+        [jnp.zeros(sel.shape[:-1] + (1,), bool), sel[..., :-1]], axis=-1)
+    return (sel & ~prev).astype(jnp.float32)
 
-    theta = _angle_diff(b.orientation[ib], a.orientation[ia])
-    t = b.xy[ib] - _apply_rigid(a.xy[ia], theta, jnp.zeros(2))
 
+def sample_hypotheses(a: MinutiaeSet, b: MinutiaeSet, wa, wb,
+                      p: MatchParams, u: jnp.ndarray | None = None):
+    """Weight-proportional rigid-hypothesis sampling (match.py:93-107) for
+    all H hypotheses of one pair at once, in inverse-CDF one-hot-matmul form:
+    pick a in A ∝ w, pick b among same-type B candidates ∝ w, hypothesis =
+    (theta, t) aligning them. Returns theta (H,), t (H, 2), has_cand (H,)."""
+    if u is None:
+        u = hypothesis_uniforms(p)
+    h = u.shape[0]
+    k = a.valid.shape[0]
+    # Inclusive prefix sums as lower-triangular MXU matmuls (cumsum lowers
+    # to an associative scan with relayouts on TPU; the matmul is free).
+    tri = jnp.tril(jnp.ones((k, k), jnp.float32)).T            # (K, K)
+
+    hi = lax.Precision.HIGHEST  # exact one-hot/prefix contractions on TPU
+    wa_v = jnp.where(a.valid, wa, 0.0)
+    ca = jnp.dot(wa_v, tri, precision=hi)
+    fa = _first_hit(ca[None, :], u[:, 0:1] * ca[-1])          # (H, K) one-hot
+    # all per-index extractions in one (K, 4) contraction
+    a_feat = jnp.stack([a.minutia_type.astype(jnp.float32), a.orientation,
+                        a.xy[:, 0], a.xy[:, 1]], axis=-1)      # (K, 4)
+    a_sel = jnp.dot(fa, a_feat, preferred_element_type=jnp.float32,
+                    precision=hi)
+    atype_s, aori_s = a_sel[:, 0], a_sel[:, 1]
+    axy_s = a_sel[:, 2:4]                                      # (H, 2)
+
+    wb_v = jnp.where(b.valid, wb, 0.0)
+    btype = b.minutia_type.astype(jnp.float32)
+    cand_w = jnp.where(jnp.abs(btype[None, :] - atype_s[:, None]) < 0.5,
+                       wb_v[None, :], 0.0)                     # (H, K)
+    cb = jnp.dot(cand_w, tri, preferred_element_type=jnp.float32,
+                 precision=hi)
+    total_b = cb[:, -1:]
+    has_cand = total_b[:, 0] > 0.0
+    fb = _first_hit(cb, u[:, 1:2] * total_b)
+    b_feat = jnp.stack([b.orientation, b.xy[:, 0], b.xy[:, 1]], axis=-1)
+    b_sel = jnp.dot(fb, b_feat, preferred_element_type=jnp.float32,
+                    precision=hi)
+    bori_s = b_sel[:, 0]
+    bxy_s = b_sel[:, 1:3]
+
+    theta = _angle_diff(bori_s, aori_s)
+    t = bxy_s - _apply_rigid(axy_s, theta, jnp.zeros(2))
+    return theta, t, has_cand.astype(jnp.float32)
+
+
+def _hypothesis(theta, t, has_cand, a: MinutiaeSet, b: MinutiaeSet, wa, wb,
+                possible, p: MatchParams):
+    """Score one sampled RANSAC hypothesis (match.py:109-127)."""
     scores, inlier, _ = _match_with_transform(a, b, wa, wb, theta, t, p)
     n = jnp.sum(inlier.astype(jnp.int32))
     raw = jnp.sum(scores) / (possible + 1e-6)
     score = jnp.clip(raw ** 0.75, 0.0, 1.0)
-    score = jnp.where((n >= p.min_inliers) & has_cand, score, 0.0)
-    n = jnp.where(has_cand, n, 0)
+    ok = has_cand > 0.5
+    score = jnp.where((n >= p.min_inliers) & ok, score, 0.0)
+    n = jnp.where(ok, n, 0)
     return score, n, theta, t
 
 
@@ -164,21 +234,24 @@ def match_minutiae_pair(a: MinutiaeSet, b: MinutiaeSet,
     reject = ((na < 8) | (nb < 8)
               | (jnp.linalg.norm(std_a - std_b) > 35.0))
 
-    key = jax.random.PRNGKey(p.seed)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(p.ransac_iter))
+    theta_h, t_h, cand_h = sample_hypotheses(a, b, wa, wb, p)
     # Hypotheses evaluate vmapped in fixed-size chunks (lax.map over chunks)
     # so the (chunk, K, K) distance tensors stay bounded even when an outer
     # vmap batches many pairs.
     chunk = min(50, p.ransac_iter)
     n_chunks = -(-p.ransac_iter // chunk)
     pad = n_chunks * chunk - p.ransac_iter
-    keys = jnp.concatenate([keys, keys[:1].repeat(pad, 0)]) if pad else keys
-    keys = keys.reshape(n_chunks, chunk, *keys.shape[1:])
+
+    def _chunked(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, 0)])
+        return x.reshape(n_chunks, chunk, *x.shape[1:])
+
     h_score, h_n, h_theta, h_t = lax.map(
-        lambda kc: jax.vmap(
-            lambda k: _hypothesis(k, a, b, wa, wb, possible, p))(kc),
-        keys)
+        lambda hc: jax.vmap(
+            lambda th, t, cd: _hypothesis(th, t, cd, a, b, wa, wb,
+                                          possible, p))(*hc),
+        (_chunked(theta_h), _chunked(t_h), _chunked(cand_h)))
     h_score, h_n, h_theta, h_t = (
         x.reshape((n_chunks * chunk,) + x.shape[2:])[:p.ransac_iter]
         for x in (h_score, h_n, h_theta, h_t))
@@ -194,21 +267,28 @@ def _finish_match(a: MinutiaeSet, b: MinutiaeSet, wa, wb, possible, na, nb,
     h_score = jnp.where(reject, 0.0, h_score)
     h_n = jnp.where(reject, jnp.zeros_like(h_n), h_n)
 
-    # Deterministic early-stop-or-best selection (:158-167).
+    hi = lax.Precision.HIGHEST
+
+    # Deterministic early-stop-or-best selection (:158-167), extracted with
+    # a one-hot contraction instead of dynamic indexing.
     stop_count = p.stop_inlier_ratio * jnp.minimum(na, nb).astype(jnp.float32)
     reached = h_n.astype(jnp.float32) >= stop_count
     any_reached = jnp.any(reached & (h_score > 0.0))
     first_reached = jnp.argmax(reached & (h_score > 0.0))
     best_h = jnp.where(any_reached, first_reached, jnp.argmax(h_score))
-    best_score = h_score[best_h]
-    theta0, t0 = h_theta[best_h], h_t[best_h]
+    bh = (jnp.arange(h_score.shape[0]) == best_h).astype(jnp.float32)
+    h_feat = jnp.stack([h_score, h_theta, h_t[:, 0], h_t[:, 1]], axis=-1)
+    h_at = jnp.dot(bh, h_feat, preferred_element_type=jnp.float32,
+                   precision=hi)
+    best_score = h_at[0]
+    theta0, t0 = h_at[1], h_at[2:4]
 
     # Kabsch refinement on the best hypothesis's inliers (:174-191), in
     # closed form for the 2x2 case: theta* = atan2(H01 - H10, H00 + H11).
-    scores0, inl0, idxb0 = _match_with_transform(a, b, wa, wb, theta0, t0, p)
+    scores0, inl0, f0 = _match_with_transform(a, b, wa, wb, theta0, t0, p)
     m = inl0[:, None].astype(jnp.float32)
     pa = a.xy
-    pb = b.xy[idxb0]
+    pb = jnp.dot(f0, b.xy, preferred_element_type=jnp.float32, precision=hi)
     ca = _masked_mean(pa, inl0[:, None], axis=0)
     cb = _masked_mean(pb, inl0[:, None], axis=0)
     A = (pa - ca) * m
@@ -221,12 +301,13 @@ def _finish_match(a: MinutiaeSet, b: MinutiaeSet, wa, wb, possible, na, nb,
     t_r = cb - _apply_rigid(ca, theta_r, jnp.zeros(2))
 
     # Re-match with the refined transform (:194-205).
-    scores_r, inl_r, idxb_r = _match_with_transform(a, b, wa, wb, theta_r, t_r, p)
+    scores_r, inl_r, f_r = _match_with_transform(a, b, wa, wb, theta_r, t_r, p)
     n_r = jnp.sum(inl_r.astype(jnp.int32))
 
     # Spread-consistency reject (:207-215).
     pa_in = a.xy
-    pb_in = b.xy[idxb_r]
+    pb_in = jnp.dot(f_r, b.xy, preferred_element_type=jnp.float32,
+                    precision=hi)
     da = _masked_mean(jnp.linalg.norm(
         pa_in - _masked_mean(pa_in, inl_r[:, None], axis=0), axis=-1), inl_r)
     db = _masked_mean(jnp.linalg.norm(
@@ -237,13 +318,14 @@ def _finish_match(a: MinutiaeSet, b: MinutiaeSet, wa, wb, possible, na, nb,
     theta_f = jnp.where(best_score > 0.0, theta_r, 0.0)
     t_f = jnp.where(best_score > 0.0, t_r, jnp.zeros(2))
 
-    # Mutual-nearest cross-check (:252-256): for each B, nearest transformed A.
+    # Mutual-nearest cross-check (:252-256): for each B, nearest transformed
+    # A. mutual[i] = F_ba[NN_B(i), i] = diag(F_ab @ F_ba)[i] — gather-free.
     if p.cross_check:
         ta = _apply_rigid(a.xy, theta_f, t_f)
-        d2_ba = jnp.sum((b.xy[:, None, :] - ta[None, :, :]) ** 2, axis=-1)
+        d2_ba = _sqdist(b.xy, ta)
         d2_ba = jnp.where(a.valid[None, :], d2_ba, _BIG)
-        idx_b_to_a = jnp.argmin(d2_ba, axis=-1)               # (K,) best A per B
-        mutual = idx_b_to_a[idxb_r] == jnp.arange(a.valid.shape[0])
+        f_ba = _nn_onehot(d2_ba)                              # (K, K) B -> A
+        mutual = jnp.sum(f_r * f_ba.T, axis=-1) > 0.5
         inl_f = inl_r & mutual
     else:
         inl_f = inl_r

@@ -40,7 +40,11 @@ def _jit_pallas_batch(a, b, params):
     from .pallas_match import match_pairs_batch_pallas
     return match_pairs_batch_pallas(a, b, params)
 
-logger = get_file_logger(__name__, "data/metadata/matching.log")
+import logging
+
+# DEBUG so the per-pair audit trail (reference FRR.py:33-60) lands in the log.
+logger = get_file_logger(__name__, "data/metadata/matching.log",
+                         level=logging.DEBUG)
 
 
 def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
@@ -78,7 +82,10 @@ def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
             for key in out:
                 out[key][idx] = full[key]
         return out
-    out_scores, out_inl, out_theta, out_t = [], [], [], []
+    # Enqueue every chunk before fetching any result: the device stream is
+    # in-order and dispatch through the TPU relay costs ~33 ms per synced
+    # call, so fetch-per-chunk would serialize latency with compute.
+    pending = []
     for i in range(0, n, chunk):
         idx = pairs[i:i + chunk]
         real = idx.shape[0]
@@ -87,20 +94,37 @@ def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
         a = jax.tree.map(lambda x: x[idx[:, 0]], ds.stacked)
         b = jax.tree.map(lambda x: x[idx[:, 1]], ds.stacked)
         if jax.default_backend() == "tpu":
-            from .pallas_match import match_pairs_batch_pallas
             res = _jit_pallas_batch(a, b, params)
         else:
             res = match_pairs_batch(a, b, params)
-        out_scores.append(np.asarray(res.final_score)[:real])
-        out_inl.append(np.asarray(res.n_inliers)[:real])
-        out_theta.append(np.asarray(res.theta)[:real])
-        out_t.append(np.asarray(res.t)[:real])
+        pending.append((res, real))
+    out_scores = [np.asarray(r.final_score)[:real] for r, real in pending]
+    out_inl = [np.asarray(r.n_inliers)[:real] for r, real in pending]
+    out_theta = [np.asarray(r.theta)[:real] for r, real in pending]
+    out_t = [np.asarray(r.t)[:real] for r, real in pending]
     return {
         "final_score": np.concatenate(out_scores),
         "n_inliers": np.concatenate(out_inl),
         "theta": np.concatenate(out_theta),
         "t": np.concatenate(out_t),
     }
+
+
+def _log_pair_scores(ds: MinutiaeDataset, pairs: np.ndarray, res: dict,
+                     kind: str):
+    """Per-pair DEBUG audit trail into matching.log — the reference logged
+    every comparison's score and transform (FRR.py:33-60,
+    match_features.py:17-22); we restore that observability here."""
+    for p, (i, j) in enumerate(pairs):
+        logger.debug(
+            "%s pair %s[%d] vs %s[%d]: score=%.6f inliers=%d "
+            "theta=%.2fdeg t=(%.1f, %.1f)",
+            kind,
+            ds.users[ds.user_index[i]], int(ds.sample_index[i]),
+            ds.users[ds.user_index[j]], int(ds.sample_index[j]),
+            float(res["final_score"][p]), int(res["n_inliers"][p]),
+            math.degrees(float(res["theta"][p])),
+            float(res["t"][p, 0]), float(res["t"][p, 1]))
 
 
 def _write_genuine_stats(ds: MinutiaeDataset, pairs: np.ndarray, res: dict,
@@ -163,6 +187,10 @@ def main(config_path: str | None = None, demo: bool = False,
             seed=int(cfg.get("ransac.seed", 42)),
         )
 
+    # Two-phase cascade (screen with few hypotheses, full pass on survivors).
+    cascade = bool(cfg.get("matching.cascade", True)) and not demo
+    screen_iters = int(cfg.get("matching.screen_iters", 32))
+
     # ---- FRR (genuine pairs) ----
     console_step("FRR: genuine pairs")
     mi_frr = (cfg.get("evaluation.demo.min_inliers", 3) if demo
@@ -171,10 +199,12 @@ def main(config_path: str | None = None, demo: bool = False,
         ds, max_pairs_per_user=(
             cfg.get("evaluation.demo.genuine_pairs_per_user", 3) if demo else None))
     t0 = time.time()
-    g_res = match_pair_indices(ds, g_pairs, make_params(mi_frr))
+    g_res = match_pair_indices(ds, g_pairs, make_params(mi_frr),
+                               cascade=cascade, screen_iters=screen_iters)
     genuine_scores = g_res["final_score"]
     t_frr = time.time() - t0
     print(f"{len(g_pairs)} genuine pairs in {t_frr:.2f}s")
+    _log_pair_scores(ds, g_pairs, g_res, kind="genuine")
     _write_genuine_stats(ds, g_pairs, g_res, logs / "genuine_match_stats.csv")
     report_scores("GENUINE SCORES", genuine_scores)
 
@@ -187,10 +217,12 @@ def main(config_path: str | None = None, demo: bool = False,
     i_pairs = impostor_pairs(ds, peers_per_user=peers,
                              seed=cfg.get("ransac.seed", 42))
     t0 = time.time()
-    i_res = match_pair_indices(ds, i_pairs, make_params(mi_far))
+    i_res = match_pair_indices(ds, i_pairs, make_params(mi_far),
+                               cascade=cascade, screen_iters=screen_iters)
     impostor_scores = i_res["final_score"]
     t_far = time.time() - t0
     print(f"{len(i_pairs)} impostor pairs in {t_far:.2f}s")
+    _log_pair_scores(ds, i_pairs, i_res, kind="impostor")
     report_scores("IMPOSTOR SCORES", impostor_scores)
 
     # ---- Threshold sweeps + EER + ROC ----

@@ -19,8 +19,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+import numpy as np
+
 from ..features.minutiae import MinutiaeSet
-from ..matching.ransac import MatchParams, match_minutiae_pair
+from ..matching.ransac import (MatchParams, match_minutiae_pair,
+                               match_pairs_batch)
 
 
 def shard_gallery(gallery: MinutiaeSet, mesh: Mesh,
@@ -90,18 +93,161 @@ def all_pairs_scores(gallery: MinutiaeSet, mesh: Mesh,
     return fn(gallery)
 
 
+def take_templates(gallery: MinutiaeSet, idx: jnp.ndarray) -> MinutiaeSet:
+    """Gather template rows by index as a one-hot MXU contraction — row
+    gathers are pathologically slow on TPU (docs/PERF.md), a (C, N) one-hot
+    matmul is exact (each row has a single 1.0) and runs at MXU speed."""
+    n = gallery.valid.shape[0]
+    onehot = (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+
+    def take(x):
+        flat = x.reshape(n, -1).astype(jnp.float32)
+        # HIGHEST precision: the default TPU matmul rounds inputs to
+        # bf16, which would perturb coordinates; one-hot @ f32 rows is
+        # exact under the bf16x3 decomposition.
+        out = jnp.dot(onehot, flat, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+        out = out.reshape((idx.shape[0],) + x.shape[1:])
+        if x.dtype == jnp.bool_:
+            return out > 0.5
+        return out.astype(x.dtype)
+
+    return jax.tree.map(take, gallery)
+
+
+def _batch_matcher(use_pallas: bool):
+    if use_pallas:
+        from ..matching.pallas_match import match_pairs_batch_pallas
+        return match_pairs_batch_pallas
+    return lambda a, b, p: match_pairs_batch(a, b, p)
+
+
+def shard_pairs_scores(gallery: MinutiaeSet, pairs, mesh: Mesh,
+                       params: MatchParams = MatchParams(),
+                       axis_name: str = "gallery",
+                       chunk: int = 2048,
+                       use_pallas: bool | None = None):
+    """Score an explicit (P, 2) template-index pair list, sharded over the
+    mesh: the pair list is split evenly across devices, the (small) gallery
+    is replicated, and each device gathers its pair rows and runs the
+    batched matcher (grouped Pallas kernel on TPU) in fixed-size chunks.
+
+    This is the work layout of the north-star all-pairs protocol
+    (BASELINE.json: full-PolyU 1480-template all-pairs): unique pairs,
+    evenly balanced regardless of the triangular structure. Returns
+    (scores (P,), n_inliers (P,)) as NumPy arrays.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    matcher = _batch_matcher(use_pallas)
+
+    pairs = np.asarray(pairs, np.int32)
+    p_total = pairs.shape[0]
+    n_dev = mesh.devices.size
+    per_dev = -(-p_total // (n_dev * chunk)) * chunk
+    pad = n_dev * per_dev - p_total
+    if pad:
+        pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
+
+    spec = P(axis_name)
+    rep = jax.tree.map(lambda _: P(), gallery)
+
+    def device_fn(local_pairs, g: MinutiaeSet):
+        chunks = local_pairs.reshape(-1, chunk, 2)
+
+        def one(c):
+            a = take_templates(g, c[:, 0])
+            b = take_templates(g, c[:, 1])
+            r = matcher(a, b, params)
+            return r.final_score, r.n_inliers
+
+        s, n = lax.map(one, chunks)
+        return s.reshape(-1), n.reshape(-1)
+
+    fn = jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(spec, rep),
+        out_specs=(spec, spec),
+        check_rep=False,
+    ))
+    s, n = fn(jnp.asarray(pairs), gallery)
+    return np.asarray(s)[:p_total], np.asarray(n)[:p_total]
+
+
+def unique_pairs(n: int) -> np.ndarray:
+    """(N*(N-1)/2, 2) upper-triangle index pairs (i < j)."""
+    iu = np.triu_indices(n, k=1)
+    return np.stack(iu, axis=1).astype(np.int32)
+
+
+def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
+                     params: MatchParams = MatchParams(),
+                     axis_name: str = "gallery",
+                     chunk: int = 2048,
+                     cascade: bool = True,
+                     screen_iters: int = 32,
+                     use_pallas: bool | None = None) -> np.ndarray:
+    """All unique template pairs of a gallery, scored with the two-phase
+    cascade (host-orchestrated): a cheap ``screen_iters``-hypothesis pass
+    over every pair, then the full ``params.ransac_iter`` pass only on the
+    pairs the screen did not hard-reject (impostors overwhelmingly fail the
+    spatial-std reject or find no inliers under any hypothesis).
+
+    Returns (P,) final scores aligned with `unique_pairs(N)`.
+    """
+    n = gallery.valid.shape[0]
+    pairs = unique_pairs(n)
+    if not (cascade and params.ransac_iter > screen_iters):
+        s, _ = shard_pairs_scores(gallery, pairs, mesh, params,
+                                  axis_name, chunk, use_pallas)
+        return s
+    screen_p = params._replace(
+        ransac_iter=screen_iters,
+        min_inliers=max(3, params.min_inliers - 2))
+    s0, n0 = shard_pairs_scores(gallery, pairs, mesh, screen_p,
+                                axis_name, chunk, use_pallas)
+    out = np.zeros(pairs.shape[0], np.float64)
+    idx = np.nonzero((s0 > 0.0) | (n0 > 0))[0]
+    if idx.size:
+        s1, _ = shard_pairs_scores(gallery, pairs[idx], mesh, params,
+                                   axis_name, chunk, use_pallas)
+        out[idx] = s1
+    return out
+
+
 def identify(probe: MinutiaeSet, gallery: MinutiaeSet, mesh: Mesh,
              params: MatchParams = MatchParams(),
-             axis_name: str = "gallery") -> jnp.ndarray:
-    """1:N identification: score one probe against a sharded gallery.
-    Returns (N,) scores (row sharded across devices)."""
+             axis_name: str = "gallery",
+             chunk: int = 1024,
+             use_pallas: bool | None = None) -> jnp.ndarray:
+    """1:N identification: score one probe against a sharded gallery with
+    the batched matcher (grouped Pallas kernel on TPU), chunked so the
+    per-chunk buffers stay bounded. Returns (N,) scores (row sharded)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    matcher = _batch_matcher(use_pallas)
+
+    n = gallery.valid.shape[0]
+    n_dev = mesh.devices.size
+    n_local = n // n_dev
+    chunk = min(chunk, n_local)
+    assert n_local % chunk == 0, (n_local, chunk)
+
     spec = P(axis_name)
     in_specs_g = jax.tree.map(lambda _: spec, gallery)
     in_specs_p = jax.tree.map(lambda _: P(), probe)
 
     def device_fn(p: MinutiaeSet, local: MinutiaeSet) -> jnp.ndarray:
-        return jax.vmap(
-            lambda c: match_minutiae_pair(p, c, params).final_score)(local)
+        chunks = jax.tree.map(
+            lambda x: x.reshape((n_local // chunk, chunk) + x.shape[1:]),
+            local)
+
+        def one(c):
+            a = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), p)
+            return matcher(a, c, params).final_score
+
+        return lax.map(one, chunks).reshape(-1)
 
     fn = shard_map(
         device_fn, mesh=mesh,

@@ -91,6 +91,20 @@ class SegTrainState(NamedTuple):
     opt_state: Any
 
 
+def _write_curves(path: Path, history: list[dict]) -> None:
+    """Training-curve CSV (epoch, loss, val_dice, val_iou) rewritten each
+    epoch — the crash-safe equivalent of the reference's TensorBoard scalars
+    (train.py:237-243,304-308)."""
+    import csv
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["epoch", "loss", "val_dice",
+                                          "val_iou"])
+        w.writeheader()
+        w.writerows(history)
+
+
 def train_from_config(config_path: str | None = None,
                       pairs: list | None = None) -> dict:
     """Train UNet++ per the segmentation YAML (train.py:151-348)."""
@@ -118,10 +132,24 @@ def train_from_config(config_path: str | None = None,
     model = NestedUNet(filters=tuple(cfg.get("model.filters",
                                              [64, 128, 256, 512, 1024])))
     lr = cfg.get("optimizer.lr", 1.5e-4)
+    epochs = cfg.get("training.epochs", 10)
+    # Scheduler choice (reference train.py:210-226 offered OneCycle or
+    # ReduceLROnPlateau; round 1 only had plateau).
+    sched_type = str(cfg.get("scheduler.type", "plateau")).lower()
+    if sched_type == "onecycle":
+        steps_per_epoch = max(1, len(train_idx) // batch)
+        lr_for_tx = optax.cosine_onecycle_schedule(
+            transition_steps=max(1, epochs * steps_per_epoch),
+            peak_value=lr,
+            pct_start=cfg.get("scheduler.pct_start", 0.3),
+            div_factor=cfg.get("scheduler.div_factor", 25.0),
+            final_div_factor=cfg.get("scheduler.final_div_factor", 1e4))
+    else:
+        lr_for_tx = lr
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.get("training.grad_clip", 1.0)),
         optax.inject_hyperparams(optax.adamw)(
-            learning_rate=lr,
+            learning_rate=lr_for_tx,
             weight_decay=cfg.get("optimizer.weight_decay", 5e-4)),
     )
     variables = model.init(jax.random.PRNGKey(seed),
@@ -181,12 +209,25 @@ def train_from_config(config_path: str | None = None,
                 ys.append(mask)
             yield jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
 
+    # Training-curve observability (reference train.py:237-243 used
+    # TensorBoard): always write a CSV curve artifact; add TensorBoard
+    # scalars when the package is importable (gated, not required).
+    curves_path = Path(cfg.get("logging.curves_csv",
+                               str(ckpt_dir / "training_curve.csv")))
+    tb_writer = None
+    if cfg.get("logging.tensorboard", False):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(
+                log_dir=cfg.get("logging.tensorboard_dir", "logs/tb_seg"))
+        except ImportError:
+            logger.warning("tensorboard not installed; CSV curves only")
+
     jrng = jax.random.PRNGKey(seed)
     best_dice = -1.0
     patience = 0
     plateau = 0
     history = []
-    epochs = cfg.get("training.epochs", 10)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
@@ -206,6 +247,11 @@ def train_from_config(config_path: str | None = None,
         logger.info("epoch %d: loss=%.4f dice=%.4f iou=%.4f (%.1fs)",
                     epoch, history[-1]["loss"], val_dice, val_iou,
                     time.time() - t0)
+        _write_curves(curves_path, history)
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/loss", history[-1]["loss"], epoch)
+            tb_writer.add_scalar("val/dice", val_dice, epoch)
+            tb_writer.add_scalar("val/iou", val_iou, epoch)
 
         def save(name):
             ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -221,8 +267,10 @@ def train_from_config(config_path: str | None = None,
         else:
             patience += 1
             plateau += 1
-            # ReduceLROnPlateau (train.py:210-226)
-            if plateau >= cfg.get("scheduler.patience", 2):
+            # ReduceLROnPlateau (train.py:210-226); OneCycle schedules the
+            # per-step lr inside the optimizer, so no mutation there.
+            if sched_type != "onecycle" and plateau >= cfg.get(
+                    "scheduler.patience", 2):
                 plateau = 0
                 factor = cfg.get("scheduler.factor", 0.5)
                 state.opt_state[1].hyperparams["learning_rate"] = (
@@ -233,8 +281,11 @@ def train_from_config(config_path: str | None = None,
                 break
         save("last.msgpack")
 
+    if tb_writer is not None:
+        tb_writer.close()
     return {"best_dice": best_dice, "history": history,
-            "checkpoint_dir": str(ckpt_dir)}
+            "checkpoint_dir": str(ckpt_dir),
+            "curves_csv": str(curves_path)}
 
 
 if __name__ == "__main__":

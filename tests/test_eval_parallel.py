@@ -90,6 +90,44 @@ def test_all_pairs_sharded_matches_pairwise(rng):
     assert genuine_mean > impostor_mean + 0.2
 
 
+def test_all_pairs_unique_sharded_n256(rng):
+    """North-star layout at N=256 on the virtual 8-device mesh: the sharded
+    unique-pair scorer (with and without the cascade) matches the plain
+    batched matcher and separates genuine from impostor pairs."""
+    from multimodal_biometric_fingerprints_palms_tpu.parallel import (
+        all_pairs_unique, unique_pairs, shard_pairs_scores,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.matching import (
+        match_pairs_batch,
+    )
+
+    mesh = create_mesh(8)
+    gallery, labels = _gallery(rng, n_users=64, samples_per_user=4)  # N=256
+    p = MatchParams(ransac_iter=8, min_inliers=5)
+    pairs = unique_pairs(256)
+    assert pairs.shape == (256 * 255 // 2, 2)
+
+    scores = all_pairs_unique(gallery, mesh, p, chunk=512, cascade=False)
+    scores_c = all_pairs_unique(gallery, mesh, p, chunk=512, cascade=True,
+                                screen_iters=4)
+
+    # spot-check against the plain batched matcher on a pair sample
+    sample = rng.choice(pairs.shape[0], 64, replace=False)
+    a = jax.tree.map(lambda x: x[pairs[sample, 0]], gallery)
+    b = jax.tree.map(lambda x: x[pairs[sample, 1]], gallery)
+    ref = np.asarray(match_pairs_batch(a, b, p).final_score)
+    np.testing.assert_allclose(scores[sample], ref, atol=1e-5)
+
+    # the cascade must agree wherever the full pass ran, and only ever
+    # zero out pairs (never invent score)
+    agree = (scores_c == 0.0) | (np.abs(scores_c - scores) < 1e-5)
+    assert agree.all()
+
+    same = labels[pairs[:, 0]] == labels[pairs[:, 1]]
+    assert scores[same].mean() > scores[~same].mean() + 0.2
+    assert scores_c[same].mean() > scores_c[~same].mean() + 0.2
+
+
 def test_identify_probe(rng):
     mesh = create_mesh(8)
     gallery, labels = _gallery(rng, n_users=4, samples_per_user=4)

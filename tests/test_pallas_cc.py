@@ -76,3 +76,48 @@ def test_pallas_match_parity(rng):
                                np.asarray(r2.final_score), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(r1.n_inliers),
                                   np.asarray(r2.n_inliers))
+
+
+@pytest.mark.parametrize("ransac_iter", [32, 70])
+def test_grouped_hypothesis_kernel_matches_ungrouped(rng, ransac_iter):
+    """The grouped (K, K*G) kernel reproduces the one-hypothesis-per-step
+    kernel exactly, including the H-padding path (70 pads to 128)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.matching import MatchParams
+    from multimodal_biometric_fingerprints_palms_tpu.matching.pallas_match import (
+        hypothesis_scores_pallas, hypothesis_scores_pallas_grouped,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.features.minutiae import (
+        MinutiaeSet,
+    )
+
+    pnum, k, n = 3, 64, 40
+    xy = rng.uniform(40, 200, (pnum, k, 2)).astype(np.float32)
+    ori = rng.uniform(-np.pi, np.pi, (pnum, k)).astype(np.float32)
+    ty = rng.integers(0, 2, (pnum, k)).astype(np.float32)
+    q = rng.uniform(0.4, 1, (pnum, k)).astype(np.float32)
+    valid = np.zeros((pnum, k), bool)
+    valid[:, :n] = True
+    j = jnp.asarray
+    a = MinutiaeSet(xy=j(xy), orientation=j(ori), minutia_type=j(ty),
+                    quality=j(q), coherence=j(q), angular_stability=j(q),
+                    valid=j(valid))
+    th = np.radians(10.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    xyb = xy @ rot.T + np.array([5.0, -3.0], np.float32) \
+        + rng.normal(0, 0.8, xy.shape).astype(np.float32)
+    b = MinutiaeSet(xy=j(xyb), orientation=j(ori + th), minutia_type=j(ty),
+                    quality=j(q), coherence=j(q), angular_stability=j(q),
+                    valid=j(valid))
+
+    p = MatchParams(ransac_iter=ransac_iter)
+    s1, c1, th1, t1 = hypothesis_scores_pallas(a, b, p, interpret=True)
+    s2, c2, th2, t2 = hypothesis_scores_pallas_grouped(a, b, p,
+                                                       interpret=True)
+    assert (np.asarray(s1) > 0).sum() > 0  # the comparison is non-trivial
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(th1), np.asarray(th2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

@@ -103,3 +103,48 @@ def test_seg_train_smoke(tmp_path, monkeypatch):
     assert (tmp_path / "ckpt" / "best.msgpack").exists()
     assert (tmp_path / "ckpt" / "last.msgpack").exists()
     assert len(result["history"]) == 2
+    # training-curve CSV artifact (reference train.py:237-243 observability)
+    import csv
+    with open(result["curves_csv"]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 and "val_dice" in rows[0]
+
+
+def test_seg_train_onecycle(tmp_path):
+    """OneCycle scheduler option (reference train.py:210-226)."""
+    img_dir = tmp_path / "DBII"
+    mask_dir = tmp_path / "debug" / "c0" / "mask"
+    img_dir.mkdir(parents=True)
+    mask_dir.mkdir(parents=True)
+    g = np.random.default_rng(0)
+    for i in range(4):
+        name = f"{i + 1}_1_1.jpg"
+        cv2.imwrite(str(img_dir / name), (g.random((64, 64)) * 255).astype(np.uint8))
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        cv2.imwrite(str(mask_dir / name), mask)
+
+    import yaml
+    cfg = {
+        "experiment": {"seed": 0},
+        "dataset": {"images_dir": str(img_dir), "masks_dir": str(tmp_path / "debug"),
+                    "image_size": 64, "batch_size": 2, "val_split": 0.3},
+        "model": {"filters": [4, 8, 12, 16, 20]},
+        "training": {"epochs": 2, "grad_clip": 1.0,
+                     "checkpoint_dir": str(tmp_path / "ckpt"),
+                     "early_stop_patience": 5},
+        "optimizer": {"lr": 1e-3, "weight_decay": 1e-4},
+        "scheduler": {"type": "onecycle", "pct_start": 0.3},
+        "loss": {"bce_weight": 0.7,
+                 "focal_tversky": {"alpha": 0.7, "beta": 0.3, "gamma": 0.75}},
+        "misc": {"resume_from_checkpoint": None},
+    }
+    cfg_path = tmp_path / "seg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from multimodal_biometric_fingerprints_palms_tpu.train.seg_train import (
+        train_from_config,
+    )
+    result = train_from_config(str(cfg_path))
+    assert len(result["history"]) == 2
+    assert all(np.isfinite(h["loss"]) for h in result["history"])
