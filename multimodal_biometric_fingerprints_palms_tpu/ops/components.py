@@ -271,6 +271,10 @@ def remove_small_objects(mask: jnp.ndarray, min_size: int,
                          connectivity: int = 2) -> jnp.ndarray:
     """Drop components smaller than min_size
     (skimage.morphology.remove_small_objects)."""
+    if _use_pallas_cc():
+        from .pallas_cc import cc_filter_pallas
+        return cc_filter_pallas(mask.astype(bool), "remove_small",
+                                connectivity, min_size=min_size)
     label = connected_components(mask, connectivity)
     sizes = component_sizes(label, mask)
     pix_size = _gather_by_label(sizes, label, mask)
@@ -281,12 +285,30 @@ def remove_small_holes(mask: jnp.ndarray, max_size: int,
                        connectivity: int = 2) -> jnp.ndarray:
     """Fill background components smaller than max_size
     (skimage.morphology.remove_small_holes)."""
+    if _use_pallas_cc():
+        from .pallas_cc import cc_filter_pallas
+        return cc_filter_pallas(mask.astype(bool), "fill_holes",
+                                connectivity, max_size=max_size)
     inv = jnp.logical_not(mask.astype(bool))
     label = connected_components(inv, connectivity)
     sizes = component_sizes(label, inv)
     pix_size = _gather_by_label(sizes, label, inv)
     fill = jnp.logical_and(inv, pix_size < max_size)
     return jnp.logical_or(mask.astype(bool), fill)
+
+
+def clean_mask(mask: jnp.ndarray, min_size: int, max_size: int,
+               connectivity: int = 1) -> jnp.ndarray:
+    """remove_small_objects(min_size) then remove_small_holes(max_size) —
+    fused into one VMEM-resident Pallas kernel on TPU (both relaxations,
+    the size histograms and the per-pixel lookups run on-chip)."""
+    if _use_pallas_cc():
+        from .pallas_cc import cc_filter_pallas
+        return cc_filter_pallas(mask.astype(bool), "clean", connectivity,
+                                min_size=min_size, max_size=max_size)
+    return remove_small_holes(
+        remove_small_objects(mask, min_size, connectivity),
+        max_size, connectivity)
 
 
 def largest_component(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:

@@ -247,6 +247,10 @@ def _clahe_apply_matmul(v: jnp.ndarray, lut: jnp.ndarray, grid: int,
 def clahe(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization.
 
+    On TPU, routes to the VMEM-resident Pallas kernel
+    (ops.pallas_kernels.clahe_pallas) when the tile shape allows
+    (~1.7x the XLA one-hot form and far cheaper to compile).
+
     OpenCV-compatible algorithm (cv2.createCLAHE(clipLimit, (grid, grid)),
     fingerprint_preprocess.py:25-29): per-tile 256-bin histogram, clip at
     ``clip_limit * tile_area / 256`` with even redistribution of the excess,
@@ -260,6 +264,12 @@ def clahe(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8) -> jnp.ndarray
     th = h // grid
     tw = w // grid
     tile_area = th * tw
+
+    import jax as _jax
+    if (_jax.default_backend() == "tpu" and h % grid == 0 and w % grid == 0
+            and th % 8 == 0):
+        from .pallas_kernels import clahe_pallas
+        return clahe_pallas(x, clip_limit, grid)
 
     v = _to_u8(x)
     tiles = v.reshape(lead + (grid, th, grid, tw))

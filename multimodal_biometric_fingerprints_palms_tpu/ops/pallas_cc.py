@@ -131,3 +131,302 @@ def connected_components_pallas(mask: jnp.ndarray, connectivity: int = 2,
         interpret=interpret,
     )(flat)
     return out.reshape(mask.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused CC + component-size filtering.
+#
+# The XLA wrappers (components.remove_small_objects / _holes /
+# largest_component) run the CC kernel, then materialize two-level one-hot
+# tensors in HBM for `component_sizes` and `_gather_by_label` — ~25-45 ms
+# per call at batch 128. Here the size histogram and the per-pixel
+# size-lookup run inside the kernel, row by row, as (nhi, 256) @ (256, 256)
+# MXU contractions on VMEM data: count[k, l] = #pixels with label hi == k,
+# lo == l, accumulated across rows; the lookup contracts the thresholded
+# count table back against the same per-row one-hots.
+# ---------------------------------------------------------------------------
+
+
+def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int):
+    """The CC relaxation from `_cc_kernel`, as a reusable function on
+    values: returns f32 labels (component-min linear index; _INF bg)."""
+    fgf = fg.astype(jnp.float32)
+    not_fg = 1.0 - fgf
+
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lin = (rows * w + cols).astype(jnp.float32)
+    label0 = jnp.where(fg, lin, _INF)
+
+    def scan_dir(v, axis, reverse):
+        out = _seg_min_doubling(v, not_fg, axis, h if axis == 0 else w,
+                                reverse)
+        return jnp.where(fg, out, _INF)
+
+    def stencil(v):
+        vm = jnp.where(fg, v, _INF)
+        best = vm
+        if connectivity == 2:
+            offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                    (1, -1), (1, 0), (1, 1)]
+        else:
+            offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        for dy, dx in offs:
+            s = vm
+            if dy != 0:
+                s = _shift_no_wrap(s, dy, 0, _INF)
+            if dx != 0:
+                s = _shift_no_wrap(s, dx, 1, _INF)
+            best = jnp.minimum(best, s)
+        return jnp.where(fg, jnp.minimum(v, best), _INF)
+
+    def sweep(v):
+        v = scan_dir(v, 1, False)
+        v = scan_dir(v, 1, True)
+        v = scan_dir(v, 0, False)
+        v = scan_dir(v, 0, True)
+        return stencil(v)
+
+    def cond(state):
+        v, prev, i = state
+        return jnp.logical_and(i < max_iters, jnp.any(v != prev))
+
+    def body(state):
+        v, _, i = state
+        return sweep(v), v, i + 1
+
+    first = sweep(label0)
+    v, _, _ = lax.while_loop(cond, body, (first, label0, jnp.int32(1)))
+    return jnp.where(fg, v, _INF)
+
+
+def _pixel_size_map(label_f, fg, h: int, w: int, count_ref, lab_ref,
+                    sizes_ref):
+    """count_ref (nhi, 256), lab_ref / sizes_ref (h, w) f32 scratch.
+    Phase 1 accumulates the two-level size histogram; phase 2 writes the
+    per-pixel component-size map into sizes_ref. Row chunks of 8 keep the
+    dynamic sublane slices 8-aligned (pl.ds works on refs, not values)."""
+    hw = h * w
+    nhi = count_ref.shape[0]
+    lab_ref[:] = jnp.where(fg, label_f, float(hw))     # bg -> slot hw
+
+    # Mosaic iota must be integer-typed; cast to f32 for the compares.
+    hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, w), 0).astype(jnp.float32)
+    lo_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(jnp.float32)
+
+    count_ref[:] = jnp.zeros((nhi, 256), jnp.float32)
+
+    def row_onehots(row):                              # row: (1, w) f32
+        hi = jnp.floor(row / 256.0)
+        lo = row - hi * 256.0
+        oh_hi = (hi_iota == hi).astype(jnp.bfloat16)   # (nhi, w)
+        oh_lo = (lo_iota == lo).astype(jnp.bfloat16)   # (256, w)
+        return oh_hi, oh_lo
+
+    def accum_chunk(c, _):
+        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        acc = count_ref[:]
+        for k in range(8):
+            oh_hi, oh_lo = row_onehots(chunk[k:k + 1, :])
+            acc = acc + jax.lax.dot_general(
+                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        count_ref[:] = acc
+        return _
+
+    lax.fori_loop(0, h // 8, accum_chunk, None)
+
+    # Phase 2: per-pixel lookup size[p] = count[hi_p, lo_p] via the same
+    # one-hots: tmp = count @ oh_lo; size_row = colsum(oh_hi * tmp).
+    count = count_ref[:]
+
+    def lookup_chunk(c, _):
+        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        rows = []
+        for k in range(8):
+            oh_hi, oh_lo = row_onehots(chunk[k:k + 1, :])
+            tmp = jax.lax.dot_general(
+                count, oh_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (nhi, w)
+            rows.append(jnp.sum(oh_hi.astype(jnp.float32) * tmp, axis=0,
+                                keepdims=True))
+        sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(rows, axis=0)
+        return _
+
+    lax.fori_loop(0, h // 8, lookup_chunk, None)
+    return sizes_ref[:]
+
+
+def _cc_filter_kernel(mask_ref, out_ref, count_ref, lab_ref, sizes_ref, *,
+                      h: int, w: int,
+                      connectivity: int, max_iters: int, mode: str,
+                      min_size: int, max_size: int):
+    fg = mask_ref[0] > 0.5
+
+    if mode == "clean":
+        # remove_small_objects(min_size) then remove_small_holes(max_size),
+        # both relaxations VMEM-resident, no HBM round trip between them.
+        label = _label_relax(fg, h, w, connectivity, max_iters)
+        sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        kept = jnp.logical_and(fg, sizes >= float(min_size))
+        inv = jnp.logical_not(kept)
+        label2 = _label_relax(inv, h, w, connectivity, max_iters)
+        sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+        fill = jnp.logical_and(inv, sizes2 < float(max_size))
+        out = jnp.logical_or(kept, fill)
+    elif mode == "remove_small":
+        label = _label_relax(fg, h, w, connectivity, max_iters)
+        sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        out = jnp.logical_and(fg, sizes >= float(min_size))
+    elif mode == "fill_holes":
+        inv = jnp.logical_not(fg)
+        label = _label_relax(inv, h, w, connectivity, max_iters)
+        sizes = _pixel_size_map(label, inv, h, w, count_ref, lab_ref, sizes_ref)
+        fill = jnp.logical_and(inv, sizes < float(max_size))
+        out = jnp.logical_or(fg, fill)
+    elif mode == "largest":
+        label = _label_relax(fg, h, w, connectivity, max_iters)
+        _ = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        count = count_ref[:]
+        nhi = count.shape[0]
+        # exclude the background slot (hi = hw // 256, lo = hw % 256)
+        hw = h * w
+        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 0)
+        lo_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 1)
+        is_bg = jnp.logical_and(hi_iota == hw // 256, lo_iota == hw % 256)
+        cnt = jnp.where(is_bg, -1.0, count)
+        m = jnp.max(cnt)
+        idx = (hi_iota * 256 + lo_iota).astype(jnp.float32)
+        best = jnp.min(jnp.where(cnt == m, idx, float(2 ** 30)))
+        out = jnp.logical_and(fg, label == best)
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    out_ref[0] = out.astype(jnp.float32)
+
+
+def cc_filter_pallas(mask: jnp.ndarray, mode: str, connectivity: int = 2,
+                     min_size: int = 0, max_size: int = 0,
+                     max_iters: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused connected-component size filtering, entirely VMEM-resident.
+
+    mode: "remove_small" (skimage.remove_small_objects), "fill_holes"
+    (remove_small_holes), "clean" (both, in sequence), "largest"
+    (largest_component).
+    """
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    assert h % 8 == 0, h
+    b = 1
+    for d in lead:
+        b *= d
+    nhi = -(-(h * w + 1) // 256)
+    nhi = -(-nhi // 8) * 8
+    flat = mask.reshape(b, h, w).astype(jnp.float32)
+    kern = functools.partial(_cc_filter_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters,
+                             mode=mode, min_size=min_size, max_size=max_size)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(flat)
+    return (out > 0.5).reshape(mask.shape)
+
+
+# ---------------------------------------------------------------------------
+# Zhang-Suen skeletonization, VMEM-resident.
+#
+# Same algorithm as ops.skeleton.skeletonize (two-subiteration thinning in a
+# bounded while_loop) but the whole relaxation runs on one in-VMEM image —
+# the XLA form round-trips ~12 (B, H, W) arrays through HBM per subpass.
+# Values are f32 0/1 (int vectors hit Mosaic gaps; f32 is exact here).
+# ---------------------------------------------------------------------------
+
+
+def _zs_ring(img):
+    """8-neighborhood [P2..P9] (N, NE, E, SE, S, SW, W, NW), zero border."""
+    def at(dy, dx):
+        v = img
+        if dy != 0:
+            v = _shift_no_wrap(v, -dy, 0, 0.0)
+        if dx != 0:
+            v = _shift_no_wrap(v, -dx, 1, 0.0)
+        return v
+    # P2..P9: N, NE, E, SE, S, SW, W, NW relative to center
+    return [at(-1, 0), at(-1, 1), at(0, 1), at(1, 1),
+            at(1, 0), at(1, -1), at(0, -1), at(-1, -1)]
+
+
+def _zs_subpass(img, first: bool):
+    p = _zs_ring(img)
+    p2, p3, p4, p5, p6, p7, p8, p9 = p
+    b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
+    ring = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
+    a = jnp.zeros_like(img)
+    for i in range(8):
+        a = a + jnp.logical_and(ring[i] < 0.5, ring[i + 1] > 0.5).astype(
+            jnp.float32)
+    if first:
+        c1 = p2 * p4 * p6 < 0.5
+        c2 = p4 * p6 * p8 < 0.5
+    else:
+        c1 = p2 * p4 * p8 < 0.5
+        c2 = p2 * p6 * p8 < 0.5
+    remove = ((img > 0.5)
+              & (b >= 1.5) & (b <= 6.5)
+              & (a > 0.5) & (a < 1.5)
+              & c1 & c2)
+    return jnp.where(remove, 0.0, img)
+
+
+def _skeleton_kernel(mask_ref, out_ref, *, max_iters: int):
+    img0 = (mask_ref[0] > 0.5).astype(jnp.float32)
+
+    def cond(state):
+        img, prev, i = state
+        return jnp.logical_and(i < max_iters, jnp.any(img != prev))
+
+    def body(state):
+        img, _, i = state
+        new = _zs_subpass(img, True)
+        new = _zs_subpass(new, False)
+        return new, img, i + 1
+
+    first = _zs_subpass(_zs_subpass(img0, True), False)
+    img, _, _ = lax.while_loop(cond, body, (first, img0, jnp.int32(1)))
+    out_ref[0] = img
+
+
+def skeletonize_pallas(mask: jnp.ndarray, max_iters: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Zhang-Suen thinning (ops.skeleton.skeletonize semantics) with the
+    whole while_loop VMEM-resident; one grid element = one image."""
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    flat = mask.reshape(b, h, w).astype(jnp.float32)
+    kern = functools.partial(_skeleton_kernel, max_iters=max_iters)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        interpret=interpret,
+    )(flat)
+    return (out > 0.5).reshape(mask.shape)

@@ -9,9 +9,11 @@ Kernels:
 - ``sauvola_binarize_pallas``: CLAHE'd image -> adaptive-Sauvola binary in
   one pass (box mean + box sqmean + k-map threshold,
   fingerprint_preprocess.py:49-57).
-- ``nlm_denoise_pallas``: full non-local means (h=10, template 7, search 21,
-  fingerprint_preprocess.py:36) — the 441 search offsets loop entirely in
-  VMEM instead of 441 scan steps through HBM.
+- ``nlm_denoise_pallas_blocked``: full non-local means (h=10, template 7,
+  search 21, fingerprint_preprocess.py:36) — dy offsets on the grid, dx
+  offsets in a fori+roll loop, accumulators in VMEM scratch.
+- ``clahe_pallas``: OpenCV-compatible CLAHE, histograms/CDF/bilinear LUT
+  application as in-VMEM one-hot MXU contractions.
 
 Both take (B, H, W) float32 and accept ``interpret=True`` so CPU tests can
 validate numerics against the XLA reference implementations.
@@ -20,10 +22,12 @@ validate numerics against the XLA reference implementations.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,18 +49,49 @@ def _pad_symmetric(x: jnp.ndarray, before: int, after: int,
     return jnp.concatenate(pieces, axis=axis)
 
 
+def _window_sum_1d(p: jnp.ndarray, out_len: int, size: int,
+                   axis: int) -> jnp.ndarray:
+    """Sliding-window sum of width `size` over a pre-padded array via a
+    doubling tree: O(log size) adds instead of size-1 (24 adds for the
+    Sauvola win=25 box overflowed Mosaic's scoped-VMEM stack)."""
+    def sl(arr, start, length):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start, start + length)
+        return arr[tuple(idx)]
+
+    # power sums: pows[k][i] = sum p[i : i + 2^k]
+    pows = [p]
+    w = 1
+    while w * 2 <= size:
+        prev = pows[-1]
+        n = prev.shape[axis] - w
+        pows.append(sl(prev, 0, n) + sl(prev, w, n))
+        w *= 2
+
+    out = None
+    off = 0
+    rem = size
+    k = len(pows) - 1
+    while rem > 0:
+        w = 1 << k
+        if rem >= w:
+            piece = sl(pows[k], off, out_len)
+            out = piece if out is None else out + piece
+            off += w
+            rem -= w
+        k -= 1
+    return out
+
+
 def _box_sum_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Separable box sum with symmetric (scipy reflect) borders, on values."""
     r = size // 2
-    p = _pad_symmetric(x, r, size - 1 - r, 0)
-    acc = jnp.zeros_like(x)
-    for dy in range(size):
-        acc = acc + p[dy:dy + x.shape[0], :]
-    p = _pad_symmetric(acc, r, size - 1 - r, 1)
-    acc = jnp.zeros_like(x)
-    for dx in range(size):
-        acc = acc + p[:, dx:dx + x.shape[1]]
-    return acc
+    ax_h = x.ndim - 2
+    ax_w = x.ndim - 1
+    p = _pad_symmetric(x, r, size - 1 - r, ax_h)
+    acc = _window_sum_1d(p, x.shape[ax_h], size, ax_h)
+    p = _pad_symmetric(acc, r, size - 1 - r, ax_w)
+    return _window_sum_1d(p, x.shape[ax_w], size, ax_w)
 
 
 def _sauvola_kernel(img_ref, out_ref, *, win: int, k: float):
@@ -88,46 +123,229 @@ def sauvola_binarize_pallas(img: jnp.ndarray, win: int = 25, k: float = 0.25,
     )(img.astype(jnp.float32))
 
 
-def _nlm_kernel(img_ref, out_ref, *, h_param: float, template: int,
-                search: int):
+def _nlm_kernel_blocked(img_ref, strip_ref, out_ref, acc_ref, wacc_ref, *,
+                        h_param: float, template: int, search: int,
+                        bf16: bool):
+    """One grid step = one (image, dy) pair: the dy row-offset comes from
+    the grid (so only the 21 dx offsets unroll — the 441-offset full unroll
+    compiled too slowly in Mosaic), the dy-shifted strip arrives via its
+    BlockSpec (Mosaic cannot prove 8-alignment of an in-kernel dynamic
+    sublane slice), the dx shifts are static lane slices, and the weighted
+    accumulators persist in VMEM scratch across the dy steps of each
+    image."""
+    dy = pl.program_id(1)
     x = img_ref[0]
     hh, ww = x.shape
-    r = search // 2
     hn2 = (h_param / 255.0) ** 2
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    inv = jnp.asarray(-1.0 / hn2 / float(template * template), dt)
 
-    # Static unroll over the search window: Mosaic requires 8/128-aligned
-    # dynamic VMEM indices, but static slices at any offset are legal
-    # (relayouted in-register). 441 offsets x (slice, SSD, box sum) stay
-    # entirely in VMEM.
-    pad = _pad_symmetric(_pad_symmetric(x, r, r, 0), r, r, 1)
-    acc = jnp.zeros_like(x)
-    wacc = jnp.zeros_like(x)
-    for dy in range(search):
-        for dx in range(search):
-            shifted = pad[dy:dy + hh, dx:dx + ww]
-            d2 = _box_sum_same((x - shifted) ** 2, template) / float(
-                template * template)
-            wgt = jnp.exp(-d2 / hn2)
-            acc = acc + wgt * shifted
-            wacc = wacc + wgt
-    out_ref[0] = acc / jnp.maximum(wacc, 1e-8)
+    @pl.when(dy == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wacc_ref[:] = jnp.zeros_like(wacc_ref)
+
+    xc = x.astype(dt)
+    strip = strip_ref[0, 0]                    # (H, W+2r), already dtype dt
+
+    # fori + dynamic-shift roll instead of a 21-way unroll: Mosaic's stack
+    # allocator keeps every unrolled offset's box-filter temporaries live
+    # (52 MB of scoped VMEM); the loop body reuses one set.
+    def body(dx, carry):
+        acc, wacc = carry
+        # dynamic rotate only supports 32-bit data: roll f32, then cast
+        shifted = pltpu.roll(strip, shift=-dx, axis=1)[:, :ww].astype(dt)
+        diff = xc - shifted
+        d2 = _box_sum_same(diff * diff, template)
+        wgt = jnp.exp(d2 * inv)
+        return (acc + (wgt * shifted).astype(jnp.float32),
+                wacc + wgt.astype(jnp.float32))
+
+    acc, wacc = lax.fori_loop(0, search, body, (acc_ref[:], wacc_ref[:]))
+    acc_ref[:] = acc
+    wacc_ref[:] = wacc
+
+    @pl.when(dy == search - 1)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(wacc_ref[:], 1e-8)
 
 
-def nlm_denoise_pallas(img: jnp.ndarray, h: float = 10.0, template: int = 7,
-                       search: int = 21, interpret: bool = False) -> jnp.ndarray:
-    """(B, H, W) [0,1] non-local means, all 441 offsets in VMEM."""
+def nlm_denoise_pallas_blocked(img: jnp.ndarray, h: float = 10.0,
+                               template: int = 7, search: int = 21,
+                               precision: str = "bf16",
+                               interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W) [0,1] non-local means — offset-blocked VMEM kernel.
+
+    Matches `ops.denoise.nlm_denoise` (same border semantics: the search
+    shifts read a reflect-padded image, the template box uses symmetric
+    padding). precision="bf16" computes per-offset SSDs/weights in bfloat16
+    with f32 accumulation, like the XLA default path.
+    """
     b, hh, ww = img.shape
-    kern = functools.partial(_nlm_kernel, h_param=h, template=template,
-                             search=search)
+    r = search // 2
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    x = img.astype(jnp.float32)
+    # bf16-round first (XLA-path parity), but store f32: the in-kernel
+    # dynamic rotate only supports 32-bit data, and casting back to bf16
+    # after the roll is exact on already-rounded values.
+    pad = jnp.pad(x.astype(dt).astype(jnp.float32),
+                  [(0, 0), (r, r), (r, r)], mode="reflect")
+    # (B, search, H, Wp) dy-shifted strips, built with static XLA slices;
+    # the lane dim is padded to a multiple of 128 (the in-kernel dynamic
+    # rotate rejects unaligned shapes; rolled-in garbage lands beyond the
+    # [:, :W] slice).
+    wp = -(-(ww + 2 * r) // 128) * 128
+    pad = jnp.pad(pad, [(0, 0), (0, 0), (0, wp - (ww + 2 * r))])
+    strips = jnp.stack([pad[:, d:d + hh, :] for d in range(search)], axis=1)
+    kern = functools.partial(_nlm_kernel_blocked, h_param=h,
+                             template=template, search=search,
+                             bf16=precision == "bf16")
     return pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0),
+        grid=(b, search),
+        in_specs=[
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hh, wp), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=12 * 1024 * 1024),
-    )(img.astype(jnp.float32))
+            vmem_limit_bytes=16 * 1024 * 1024),
+    )(x, strips)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE.
+#
+# The XLA clahe (ops/histogram.py) materializes (B, tiles, pixels, 256)
+# one-hot tensors in HBM for both the tile histograms and the 4-corner LUT
+# application — ~50 ms/call at batch 128, and the chain calls it three
+# times. Here one grid element = one image: per 8-row chunk the bin one-hot
+# (256, W) is built in registers and contracted on the MXU against a
+# tile-selector to accumulate the (256 bins, tiles) histogram; clip/
+# redistribute/CDF run on that (256, G*G) tile matrix (CDF = triangular
+# matmul); the bilinear 4-corner LUT application contracts the same one-hot
+# against corner-selected LUT columns. Everything stays in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _clahe_kernel(v_ref, out_ref, hist_ref, *, h: int, w: int, grid: int,
+                  clip_limit: float):
+    th = h // grid
+    tw = w // grid
+    tile_area = th * tw
+    nt = grid * grid
+
+    bins_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(
+        jnp.float32)
+    col_iota = lax.broadcasted_iota(jnp.int32, (256, w), 1)
+    tx_of_col = (col_iota // tw).astype(jnp.float32)[0:1, :]   # (1, w)
+    t_iota = lax.broadcasted_iota(jnp.int32, (nt, w), 0).astype(jnp.float32)
+
+    hist_ref[:] = jnp.zeros((256, nt), jnp.float32)
+
+    def row_onehot(row):                                # (1, w) u8-as-f32
+        return (bins_iota == row).astype(jnp.bfloat16)  # (256, w)
+
+    def accum_chunk(c, _):
+        rows = v_ref[0, pl.ds(c * 8, 8), :]
+        ty = ((c * 8) // th).astype(jnp.float32)        # chunk within 1 tile row
+        sel = (t_iota == ty * grid + tx_of_col).astype(jnp.bfloat16)
+        acc = hist_ref[:]
+        for k in range(8):
+            oh = row_onehot(rows[k:k + 1, :])
+            acc = acc + lax.dot_general(
+                oh, sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (256, nt)
+        hist_ref[:] = acc
+        return _
+
+    lax.fori_loop(0, h // 8, accum_chunk, None)
+
+    # Clip + even redistribution (OpenCV truncates the limit to int).
+    limit = max(float(int(clip_limit * tile_area / 256.0)), 1.0)
+    hist = hist_ref[:]
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=0, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / 256.0
+
+    # CDF over bins as a lower-triangular matmul; LUT in [0, 255].
+    r_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    c_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    tri = (r_iota >= c_iota).astype(jnp.float32)        # (bins_out, bins_in)
+    cdf = lax.dot_general(tri, hist, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    scale = 255.0 / tile_area
+    lut = jnp.clip(jnp.round(cdf * scale), 0.0, 255.0)  # (256, nt)
+
+    # Bilinear blend between tile-center LUTs (OpenCV convention).
+    xx = (col_iota.astype(jnp.float32)[0:1, :] + 0.0) / tw - 0.5
+    x0 = jnp.clip(jnp.floor(xx), 0.0, grid - 1.0)
+    x1 = jnp.minimum(x0 + 1.0, grid - 1.0)
+    wx1 = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)
+    wx1 = jnp.where(xx < 0, 0.0, jnp.where(xx > grid - 1, 1.0, wx1))
+    t64_iota = lax.broadcasted_iota(jnp.int32, (nt, w), 0).astype(jnp.float32)
+
+    def apply_chunk(c, _):
+        rows = v_ref[0, pl.ds(c * 8, 8), :]
+        out_rows = []
+        for k in range(8):
+            # c is traced: per-row tile coords/weights as jnp scalars
+            yy = (c * 8 + k).astype(jnp.float32) / th - 0.5
+            y0 = jnp.clip(jnp.floor(yy), 0.0, grid - 1.0)
+            y1 = jnp.minimum(y0 + 1.0, grid - 1.0)
+            wy1 = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
+            wy1 = jnp.where(yy < 0, 0.0,
+                            jnp.where(yy > grid - 1, 1.0, wy1))
+            oh = row_onehot(rows[k:k + 1, :]).astype(jnp.float32)
+            acc = jnp.zeros((1, w), jnp.float32)
+            for ty_a, w_y in ((y0, 1.0 - wy1), (y1, wy1)):
+                for tx_c, w_x in ((x0, 1.0 - wx1), (x1, wx1)):
+                    g_sel = (t64_iota == ty_a * grid + tx_c).astype(
+                        jnp.float32)                     # (nt, w)
+                    l_cols = lax.dot_general(
+                        lut, g_sel, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (256, w)
+                    val = jnp.sum(oh * l_cols, axis=0, keepdims=True)
+                    acc = acc + w_y * w_x * val
+            out_rows.append(acc)
+        out_ref[0, pl.ds(c * 8, 8), :] = jnp.concatenate(out_rows, axis=0)
+        return _
+
+    lax.fori_loop(0, h // 8, apply_chunk, None)
+
+
+def clahe_pallas(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8,
+                 interpret: bool = False) -> jnp.ndarray:
+    """(..., H, W) [0,1] -> CLAHE'd [0,1]; matches ops.histogram.clahe.
+    Requires H, W divisible by grid and tile height divisible by 8."""
+    import math as _math  # noqa: F401  (math used in kernel via closure)
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    th = h // grid
+    assert h % grid == 0 and w % grid == 0 and th % 8 == 0, (h, w, grid)
+    b = 1
+    for d in lead:
+        b *= d
+    v = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), 0, 255)
+    kern = functools.partial(_clahe_kernel, h=h, w=w, grid=grid,
+                             clip_limit=clip_limit)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((256, grid * grid), jnp.float32)],
+        interpret=interpret,
+    )(v.reshape(b, h, w))
+    return jnp.clip(out.reshape(x.shape) / 255.0, 0.0, 1.0)

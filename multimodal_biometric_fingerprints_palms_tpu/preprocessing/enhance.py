@@ -29,7 +29,8 @@ from ..ops.morphology import (
     binary_reconstruction_by_dilation,
 )
 from ..ops.components import (
-    remove_small_objects, remove_small_holes, largest_component, convex_hull_mask,
+    remove_small_objects, remove_small_holes, largest_component,
+    convex_hull_mask, clean_mask,
 )
 from ..ops.skeleton import skeletonize, prune_isolated
 from ..ops.orientation import compute_orientation_field, OrientationField
@@ -61,14 +62,23 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return clahe(_quantize_u8(f), clip_limit=2.5, grid=8)
 
 
-def denoise_image(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+def _auto_pallas(use_pallas: bool | None) -> bool:
+    """None -> use the Pallas kernels on TPU, XLA elsewhere."""
+    if use_pallas is None:
+        import jax
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
+def denoise_image(img: jnp.ndarray,
+                  use_pallas: bool | None = None) -> jnp.ndarray:
     """NLM (h=10, template 7, search 21) + 3x3 Gaussian sigma 0.6
     (fingerprint_preprocess.py:34-38)."""
-    if use_pallas:
-        from ..ops.pallas_kernels import nlm_denoise_pallas
+    if _auto_pallas(use_pallas):
+        from ..ops.pallas_kernels import nlm_denoise_pallas_blocked
         lead = img.shape[:-2]
         flat = img.reshape((-1,) + img.shape[-2:])
-        d = nlm_denoise_pallas(flat).reshape(lead + img.shape[-2:])
+        d = nlm_denoise_pallas_blocked(flat).reshape(lead + img.shape[-2:])
     else:
         d = nlm_denoise(img, h=10.0, template_window=7, search_window=21)
     return gaussian_blur_cv(d, ksize=3, sigma=0.6)
@@ -107,7 +117,7 @@ def segment_fingerprint(img: jnp.ndarray, hull_directions: int = 90
     return img * hull.astype(img.dtype), hull
 
 
-def binarize(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+def binarize(img: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     """Hybrid Sauvola + per-patch-Otsu binarization
     (fingerprint_preprocess.py:43-81).
 
@@ -120,7 +130,7 @@ def binarize(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     img_eq = clahe(_quantize_u8(img), clip_limit=2.5, grid=8)
 
     win, k = 25, 0.25
-    if use_pallas:
+    if _auto_pallas(use_pallas):
         from ..ops.pallas_kernels import sauvola_binarize_pallas
         lead = img_eq.shape[:-2]
         flat = img_eq.reshape((-1,) + img_eq.shape[-2:])
@@ -145,8 +155,7 @@ def binarize(img: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     refine = jnp.logical_and(img_eq < thr, p_std >= 3.0 / 255.0)
     binary = jnp.logical_or(binary, refine)
 
-    cleaned = remove_small_objects(binary, 80, connectivity=1)
-    cleaned = remove_small_holes(cleaned, 150, connectivity=1)
+    cleaned = clean_mask(binary, 80, 150, connectivity=1)
 
     opened = binary_opening(cleaned, 3, shape="ellipse")
     marker = binary_erode(opened, 3, shape="ellipse")
@@ -182,8 +191,7 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
     """Reliability-gated skeletonization (fingerprint_preprocess.py:161-177):
     small-object/hole cleanup → mask by smoothed reliability → thin →
     prune isolated tips."""
-    mask = remove_small_objects(binary_smooth, 64, connectivity=1)
-    mask = remove_small_holes(mask, 80, connectivity=1)
+    mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
     rel_smooth = gaussian_blur(reliability, 2.0)
     mask = jnp.logical_and(mask, rel_smooth > rel_thresh)
     skel = skeletonize(mask)
@@ -194,7 +202,7 @@ def preprocess_fingerprint(img: jnp.ndarray,
                            block_size: int = 16,
                            orientation_sigma: float = 3.0,
                            hull_directions: int = 90,
-                           use_pallas: bool = False) -> EnhancementResult:
+                           use_pallas: bool | None = None) -> EnhancementResult:
     """Full enhancement chain over (..., H, W) float32 in [0,1]
     (fingerprint_preprocess.py:182-225). H, W must be multiples of 32.
 
@@ -224,136 +232,4 @@ def preprocess_fingerprint(img: jnp.ndarray,
         skeleton=skeleton,
         orientation=field.orientation,
         reliability=field.reliability,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Staged execution: XLA's while-loop fusible-sinking pass clones producer
-# chains into CC/reconstruction/thinning loop bodies when the whole chain is
-# one program, recomputing them every relaxation sweep (measured 2.9 s vs
-# 0.2 s for the segmentation stage at batch 128; optimization_barrier does
-# not stop the sinking pass). Splitting at dispatch boundaries restores the
-# standalone cost: each stage below is its own jit program, and loop-heavy
-# ops receive materialized device arrays.
-# ---------------------------------------------------------------------------
-
-@jax.jit
-def _stage_front(img):
-    """normalize → denoise → pre-segmentation mask (loop-free)."""
-    normalized = normalize_image(img)
-    denoised = denoise_image(normalized)
-    stab = clahe(_quantize_u8(denoised), clip_limit=2.0, grid=8)
-    blur = gaussian_blur_cv(stab, ksize=5, sigma=0.0)
-    thr = otsu_threshold(blur)[..., None, None]
-    mask = blur > thr
-    mf = mask.astype(jnp.float32)
-    mean_fg = jnp.sum(denoised * mf, axis=(-2, -1)) / jnp.maximum(
-        jnp.sum(mf, axis=(-2, -1)), 1.0)
-    mean_bg = jnp.sum(denoised * (1 - mf), axis=(-2, -1)) / jnp.maximum(
-        jnp.sum(1 - mf, axis=(-2, -1)), 1.0)
-    flip = (mean_fg > mean_bg)[..., None, None]
-    mask = jnp.where(flip, jnp.logical_not(mask), mask)
-    m = binary_closing(mask, 15, shape="ellipse")
-    m = binary_opening(m, 15, shape="ellipse")
-    return normalized, denoised, m
-
-
-@jax.jit
-def _stage_hull(denoised, morphed):
-    m = largest_component(morphed)
-    hull = convex_hull_mask(m, n_directions=90)
-    empty = jnp.logical_not(jnp.any(m, axis=(-2, -1), keepdims=True))
-    hull = jnp.logical_or(hull, empty)
-    return denoised * hull.astype(denoised.dtype), hull
-
-
-@jax.jit
-def _stage_binarize_pre(segmented):
-    """Sauvola + patch-Otsu binary before the component cleanup (loop-free)."""
-    img_eq = clahe(_quantize_u8(segmented), clip_limit=2.5, grid=8)
-    win, k = 25, 0.25
-    mean = box_filter(img_eq, win)
-    sqmean = box_filter(img_eq * img_eq, win)
-    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
-    std_n = std / (jnp.max(std, axis=(-2, -1), keepdims=True) + 1e-6)
-    k_map = k * (1.0 - 0.5 * std_n)
-    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
-    binary = img_eq < sauv
-    patch = 32
-    thr = otsu_threshold_patchwise(img_eq, patch)
-    lead = img_eq.shape[:-2]
-    h, w = img_eq.shape[-2:]
-    blocks = img_eq.reshape(lead + (h // patch, patch, w // patch, patch))
-    p_std = jnp.std(blocks, axis=(-3, -1))
-    p_std = jnp.repeat(jnp.repeat(p_std, patch, axis=-1), patch, axis=-2)
-    refine = jnp.logical_and(img_eq < thr, p_std >= 3.0 / 255.0)
-    return jnp.logical_or(binary, refine)
-
-
-@jax.jit
-def _stage_rm_objects(binary):
-    return remove_small_objects(binary, 80, connectivity=1)
-
-
-@jax.jit
-def _stage_rm_holes(binary):
-    return remove_small_holes(binary, 150, connectivity=1)
-
-
-@jax.jit
-def _stage_reconstruct(cleaned):
-    opened = binary_opening(cleaned, 3, shape="ellipse")
-    marker = binary_erode(opened, 3, shape="ellipse")
-    return binary_reconstruction_by_dilation(marker, opened)
-
-
-@jax.jit
-def _stage_orientation(segmented, mask):
-    return compute_orientation_field(
-        segmented, mask=mask, block_size=16,
-        smooth_sigma=3.0, smooth_orientation_sigma=3.0)
-
-
-@jax.jit
-def _stage_smooth(binary):
-    return smooth_fingerprint_skeleton(binary.astype(jnp.float32))
-
-
-@jax.jit
-def _stage_thin_rm_objects(binary_smooth):
-    return remove_small_objects(binary_smooth, 64, connectivity=1)
-
-
-@jax.jit
-def _stage_thin_rm_holes(m):
-    return remove_small_holes(m, 80, connectivity=1)
-
-
-@jax.jit
-def _stage_skeletonize(m, reliability):
-    rel_smooth = gaussian_blur(reliability, 2.0)
-    m = jnp.logical_and(m, rel_smooth > 0.1)
-    return prune_isolated(skeletonize(m))
-
-
-def preprocess_fingerprint_staged(img: jnp.ndarray) -> EnhancementResult:
-    """Same result as `preprocess_fingerprint`, executed as ~10 dispatches
-    so loop-heavy ops stay at their standalone cost. Use for batch
-    throughput (runners, bench); use the single-jit version where one
-    program is required (tests of jit-ability, dryrun)."""
-    normalized, denoised, morphed = _stage_front(img)
-    segmented, mask = _stage_hull(denoised, morphed)
-    binary = _stage_binarize_pre(segmented)
-    binary = _stage_rm_objects(binary)
-    binary = _stage_rm_holes(binary)
-    binary = _stage_reconstruct(binary)
-    field = _stage_orientation(segmented, mask)
-    binary_smooth = _stage_smooth(binary)
-    m = _stage_thin_rm_objects(binary_smooth)
-    m = _stage_thin_rm_holes(m)
-    skeleton = _stage_skeletonize(m, field.reliability)
-    return EnhancementResult(
-        normalized=normalized, denoised=denoised, segmented=segmented,
-        mask=mask, binary=binary, skeleton=skeleton,
-        orientation=field.orientation, reliability=field.reliability,
     )

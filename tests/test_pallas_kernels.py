@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
-    sauvola_binarize_pallas, nlm_denoise_pallas,
+    sauvola_binarize_pallas,
 )
 from multimodal_biometric_fingerprints_palms_tpu.ops.filters import box_filter
 from multimodal_biometric_fingerprints_palms_tpu.ops.denoise import nlm_denoise
@@ -27,8 +27,75 @@ def test_sauvola_pallas_matches_xla(rng):
     assert (ours == ref).mean() > 0.999
 
 
-def test_nlm_pallas_matches_xla(rng):
-    x = jnp.asarray(rng.random((1, 40, 64)).astype(np.float32))
-    ours = np.asarray(nlm_denoise_pallas(x, interpret=True))
-    ref = np.asarray(nlm_denoise(x, precision="f32"))
-    np.testing.assert_allclose(ours, ref, atol=2e-3)
+def test_nlm_pallas_blocked_matches_xla(rng):
+    """Offset-blocked NLM kernel (the TPU default path) vs the XLA form,
+    both precisions."""
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        nlm_denoise_pallas_blocked,
+    )
+    x = jnp.asarray(rng.random((1, 16, 32)).astype(np.float32))
+    for prec in ("f32", "bf16"):
+        ours = np.asarray(nlm_denoise_pallas_blocked(x, precision=prec,
+                                                     interpret=True))
+        ref = np.asarray(nlm_denoise(x, precision=prec))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_clahe_pallas_matches_xla(rng):
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        clahe_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.histogram import clahe
+    x = jnp.asarray(rng.random((1, 64, 64)).astype(np.float32))
+    ours = np.asarray(clahe_pallas(x, 2.5, 8, interpret=True))
+    ref = np.asarray(clahe(x, 2.5, 8))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_cc_filter_pallas_modes(rng):
+    """Fused CC size filtering matches the XLA wrapper compositions."""
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        cc_filter_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops import components as C
+
+    old = C.CC_IMPL
+    C.set_cc_impl("xla")
+    try:
+        x = jnp.asarray(rng.random((1, 24, 128)) > 0.55)
+        for conn in (1, 2):
+            a = np.asarray(cc_filter_pallas(x, "remove_small", conn,
+                                            min_size=10, interpret=True))
+            b = np.asarray(C.remove_small_objects(x, 10, conn))
+            np.testing.assert_array_equal(a, b)
+            a = np.asarray(cc_filter_pallas(x, "fill_holes", conn,
+                                            max_size=20, interpret=True))
+            b = np.asarray(C.remove_small_holes(x, 20, conn))
+            np.testing.assert_array_equal(a, b)
+        a = np.asarray(cc_filter_pallas(x, "clean", 1, min_size=10,
+                                        max_size=20, interpret=True))
+        b = np.asarray(C.remove_small_holes(
+            C.remove_small_objects(x, 10, 1), 20, 1))
+        np.testing.assert_array_equal(a, b)
+        a = np.asarray(cc_filter_pallas(x, "largest", 2, interpret=True))
+        b = np.asarray(C.largest_component(x, 2))
+        np.testing.assert_array_equal(a, b)
+    finally:
+        C.set_cc_impl(old)
+
+
+def test_skeletonize_pallas_matches_xla(rng):
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        skeletonize_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.skeleton import (
+        skeletonize,
+    )
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    ridge = (np.cos(np.sqrt((yy - 16) ** 2 + (xx - 32) ** 2) / 3.0) > -0.2) \
+        & (((yy - 16) / 14.0) ** 2 + ((xx - 32) / 30.0) ** 2 < 1)
+    x = jnp.asarray(ridge[None])
+    a = np.asarray(skeletonize_pallas(x, interpret=True))
+    b = np.asarray(skeletonize(x))
+    np.testing.assert_array_equal(a, b)
