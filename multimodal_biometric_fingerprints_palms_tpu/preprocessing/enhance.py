@@ -202,23 +202,54 @@ def preprocess_fingerprint(img: jnp.ndarray,
                            block_size: int = 16,
                            orientation_sigma: float = 3.0,
                            hull_directions: int = 90,
-                           use_pallas: bool | None = None) -> EnhancementResult:
+                           use_pallas: bool | None = None,
+                           gabor: bool = False,
+                           gabor_params: dict | None = None
+                           ) -> EnhancementResult:
     """Full enhancement chain over (..., H, W) float32 in [0,1]
     (fingerprint_preprocess.py:182-225). H, W must be multiples of 32.
 
     jit/vmap-able; typical use is ``jax.jit(preprocess_fingerprint)`` on a
     (B, H, W) batch.
+
+    gabor=True inserts the north-star extension stage (BASELINE.json;
+    the reference chain has no Gabor bank, SURVEY.md §2.3 note): after the
+    orientation field, a per-block ridge-frequency estimate drives an
+    orientation/frequency-quantized Gabor bank, and binarization runs on
+    the enhanced image. Config key: preprocessing.gabor.*.
     """
     normalized = normalize_image(img)
     denoised = denoise_image(normalized, use_pallas=use_pallas)
     segmented, mask = segment_fingerprint(denoised, hull_directions)
-    binary = binarize(segmented, use_pallas=use_pallas)
 
     field: OrientationField = compute_orientation_field(
         segmented, mask=mask, block_size=block_size,
         smooth_sigma=orientation_sigma,
         smooth_orientation_sigma=orientation_sigma,
     )
+
+    if gabor:
+        from ..ops.gabor import (estimate_ridge_frequency_blockwise,
+                                 gabor_enhance_blockfreq)
+        gp = gabor_params or {}
+        freq_map = estimate_ridge_frequency_blockwise(
+            segmented, mask=mask,
+            block_size=gp.get("block_size", 32))
+        resp = gabor_enhance_blockfreq(
+            segmented, field.orientation, freq_map, mask=mask,
+            n_orientations=gp.get("n_orientations", 12),
+            n_frequencies=gp.get("n_frequencies", 4),
+            size=gp.get("kernel_size", 11))
+        # map back to [0,1] with ridges dark (ridge centers correlate
+        # negatively with the even cos kernel on dark-ridge images)
+        amp = jnp.max(jnp.abs(resp), axis=(-2, -1), keepdims=True)
+        to_binarize = jnp.clip(
+            0.5 + 0.5 * resp / jnp.maximum(amp, 1e-6), 0.0, 1.0)
+        to_binarize = jnp.where(mask, to_binarize, segmented)
+    else:
+        to_binarize = segmented
+
+    binary = binarize(to_binarize, use_pallas=use_pallas)
 
     binary_smooth = smooth_fingerprint_skeleton(binary.astype(jnp.float32))
     skeleton = thinning_and_cleaning(binary_smooth, field.reliability)

@@ -54,7 +54,8 @@ def run_preprocessing(input_dir: str | Path,
                       batch_size: int = 32,
                       debug: bool = True,
                       small: bool = False,
-                      use_native_loader: bool | None = None) -> dict:
+                      use_native_loader: bool | None = None,
+                      gabor: bool | None = None) -> dict:
     """Enhance every image under ``input_dir`` (recursively; cluster_*
     subdirs preserved). Returns per-stage timing stats.
 
@@ -109,7 +110,16 @@ def run_preprocessing(input_dir: str | Path,
         return {"num_images": 0}
 
     shape = _canonical_shape([m[1] for m in metas])
-    fn = jax.jit(preprocess_fingerprint)
+    if gabor is None:  # config-gated (preprocessing.gabor.enabled)
+        from ..config import load_fingerprint_config
+        gcfg = load_fingerprint_config().get("preprocessing.gabor", {}) or {}
+        gabor = bool(gcfg.get("enabled", False)) if hasattr(gcfg, "get") else False
+        gabor_params = dict(gcfg) if gabor else None
+    else:
+        gabor_params = None
+    import functools
+    fn = jax.jit(functools.partial(preprocess_fingerprint, gabor=gabor,
+                                   gabor_params=gabor_params))
 
     t_start = time.time()
     n_done = 0
