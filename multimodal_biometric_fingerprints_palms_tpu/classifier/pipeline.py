@@ -106,9 +106,11 @@ def main(config_path: str | None = None, dataset_dirs=None,
 
     # --- embeddings (main_ssl_pipeline.py:172-182) ---
     console_step("Extracting embeddings")
+    # extraction resolution must match training (a hard-coded 256 here
+    # degraded embeddings whenever dataset.image_size differed)
     embeddings, kept_paths = extract_embeddings(
         model, variables, paths, batch_size=batch_size,
-        image_size=256, cache_file=save_dir / "embeddings.npz")
+        image_size=image_size, cache_file=save_dir / "embeddings.npz")
     print(f"embeddings: {embeddings.shape}")
 
     # --- clustering (main_ssl_pipeline.py:190-214) ---

