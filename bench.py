@@ -37,7 +37,16 @@ def make_batch(batch: int, h: int = 320, w: int = 256) -> np.ndarray:
     return out
 
 
+def _setup_cache():
+    """Persistent compilation cache: Mosaic/XLA compiles of the big kernels
+    are minutes through the remote compile helper; cache them across runs."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _setup_cache()
     import jax
     import jax.numpy as jnp
     from multimodal_biometric_fingerprints_palms_tpu.preprocessing import (
@@ -72,10 +81,14 @@ def main():
                 raise
             time.sleep(30)
 
+    # Enqueue all iterations, then sync once: the device stream is in-order,
+    # so fetching the last value waits for all of them — total wall time for
+    # iters*batch images is honest, without paying the relay's ~33 ms
+    # dispatch latency once per iteration (docs/PERF.md).
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(pipeline(x))
+    outs = [pipeline(x) for _ in range(iters)]
+    float(outs[-1])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

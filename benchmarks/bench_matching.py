@@ -106,16 +106,62 @@ def bench_allpairs(iters: int, cascade: bool, n_users: int = 148,
     }))
 
 
+def bench_identify(iters: int, n_users: int = 148, samples: int = 10,
+                   chunk: int = 512):
+    """1:N identification probe against a sharded PolyU-sized gallery."""
+    from multimodal_biometric_fingerprints_palms_tpu.parallel import (
+        create_mesh, pad_gallery, shard_gallery)
+    from multimodal_biometric_fingerprints_palms_tpu.parallel.gallery import (
+        identify)
+
+    mesh = create_mesh(len(jax.devices()))
+    gallery = pad_gallery(synth_users_gallery(n_users, samples), chunk)
+    n = gallery.valid.shape[0]
+    sharded = shard_gallery(gallery, mesh)
+    probe = jax.tree.map(lambda x: x[3], gallery)
+    p = MatchParams(ransac_iter=iters)
+
+    s = identify(probe, sharded, mesh, p, chunk=chunk)
+    top = int(np.argmax(np.asarray(s)))
+    reps = 10
+    t0 = time.perf_counter()
+    outs = [identify(probe, sharded, mesh, p, chunk=chunk)
+            for _ in range(reps)]
+    float(jnp.sum(outs[-1]))
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": f"1:N identify, N={n} (iters={iters}, "
+                  f"{len(jax.devices())} dev)",
+        "value": round(dt * 1000, 1),
+        "unit": "ms/probe",
+        "top_match": top,
+        "top_correct": bool(top == 3),
+    }))
+
+
+def _setup_cache():
+    """Persistent compilation cache: Mosaic/XLA compiles of the big kernels
+    are minutes through the remote compile helper; cache them across runs."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _setup_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=512)
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--allpairs", action="store_true")
+    ap.add_argument("--identify", action="store_true")
     ap.add_argument("--no-cascade", action="store_true")
     args = ap.parse_args()
 
     if args.allpairs:
         bench_allpairs(args.iters, cascade=not args.no_cascade)
+        return
+    if args.identify:
+        bench_identify(args.iters)
         return
 
     p = MatchParams(ransac_iter=args.iters)

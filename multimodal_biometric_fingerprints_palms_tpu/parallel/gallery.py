@@ -13,6 +13,8 @@ within a bounded VMEM/HBM footprint.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -233,9 +235,17 @@ def identify(probe: MinutiaeSet, gallery: MinutiaeSet, mesh: Mesh,
     chunk = min(chunk, n_local)
     assert n_local % chunk == 0, (n_local, chunk)
 
+    fn = _identify_jit(mesh, axis_name, params, chunk, n_local, use_pallas)
+    return fn(probe, gallery)
+
+
+@functools.lru_cache(maxsize=32)
+def _identify_jit(mesh: Mesh, axis_name: str, params: MatchParams,
+                  chunk: int, n_local: int, use_pallas: bool):
+    """Cached jitted sharded identify — an unjitted shard_map re-traces and
+    eager-dispatches every op per call (~33 ms relay latency each)."""
+    matcher = _batch_matcher(use_pallas)
     spec = P(axis_name)
-    in_specs_g = jax.tree.map(lambda _: spec, gallery)
-    in_specs_p = jax.tree.map(lambda _: P(), probe)
 
     def device_fn(p: MinutiaeSet, local: MinutiaeSet) -> jnp.ndarray:
         chunks = jax.tree.map(
@@ -249,10 +259,10 @@ def identify(probe: MinutiaeSet, gallery: MinutiaeSet, mesh: Mesh,
 
         return lax.map(one, chunks).reshape(-1)
 
-    fn = shard_map(
+    # prefix-pytree specs: one spec covers every MinutiaeSet leaf
+    return jax.jit(shard_map(
         device_fn, mesh=mesh,
-        in_specs=(in_specs_p, in_specs_g),
+        in_specs=(P(), spec),
         out_specs=P(axis_name),
         check_rep=False,
-    )
-    return fn(probe, gallery)
+    ))

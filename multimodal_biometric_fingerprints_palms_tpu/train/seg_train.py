@@ -138,10 +138,15 @@ def train_from_config(config_path: str | None = None,
     sched_type = str(cfg.get("scheduler.type", "plateau")).lower()
     if sched_type == "onecycle":
         steps_per_epoch = max(1, len(train_idx) // batch)
+        pct_start = cfg.get("scheduler.pct_start", 0.3)
+        # warmup must span >= 1 step or optax's piecewise interpolation
+        # divides by a zero-size interval (NaN lr on tiny runs)
+        total_steps = max(epochs * steps_per_epoch,
+                          int(np.ceil(1.0 / pct_start)) + 1)
         lr_for_tx = optax.cosine_onecycle_schedule(
-            transition_steps=max(1, epochs * steps_per_epoch),
+            transition_steps=total_steps,
             peak_value=lr,
-            pct_start=cfg.get("scheduler.pct_start", 0.3),
+            pct_start=pct_start,
             div_factor=cfg.get("scheduler.div_factor", 25.0),
             final_div_factor=cfg.get("scheduler.final_div_factor", 1e4))
     else:
