@@ -39,10 +39,16 @@ def _shift_no_wrap(x: jnp.ndarray, shift: int, axis: int, fill) -> jnp.ndarray:
     return jnp.where(idx >= size + shift, fill, rolled)
 
 
-def _seg_min_doubling(v, blocked, axis: int, length: int, reverse: bool):
+def _seg_min_doubling(v, blocked, axis: int, length: int, reverse: bool,
+                      max_shift: int | None = None):
     """Segmented prefix (or suffix, when reverse) min via log-doubling.
-    Reverse scans use negative shifts directly — Mosaic has no `rev`."""
+    Reverse scans use negative shifts directly — Mosaic has no `rev`.
+    ``max_shift`` truncates the doubling: ridge-mask runs are short, so
+    full-width scans waste steps — the while_loop fixpoint is identical,
+    long runs just take extra sweeps."""
     sgn = -1 if reverse else 1
+    if max_shift is not None:
+        length = min(length, max_shift + 1)
     shift = 1
     while shift < length:
         v_s = _shift_no_wrap(v, sgn * shift, axis, _INF)
@@ -129,6 +135,8 @@ def connected_components_pallas(mask: jnp.ndarray, connectivity: int = 2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(flat)
     return out.reshape(mask.shape)
 
