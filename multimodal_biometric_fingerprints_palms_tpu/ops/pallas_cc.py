@@ -29,7 +29,8 @@ _INF = float(2 ** 30)  # python scalar: jnp constants get captured by pallas
 
 def _shift_no_wrap(x: jnp.ndarray, shift: int, axis: int, fill) -> jnp.ndarray:
     """out[i] = x[i - shift] (either sign) with ``fill`` shifted in
-    (circular roll + edge mask)."""
+    (circular roll + edge mask). A concat+slice form hit Mosaic's
+    "offset mismatch on non-concat dimension" for sublane shifts."""
     size = x.shape[axis]
     idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
     if shift >= 0:
