@@ -395,3 +395,37 @@ def match_pairs_batch_pallas(a: MinutiaeSet, b: MinutiaeSet,
                              hs, hn.astype(jnp.int32), hth, ht, p)
 
     return jax.vmap(finish)(a, b, wa, wb, scores, counts, theta, t)
+
+
+def screen_pairs_batch_pallas(a: MinutiaeSet, b: MinutiaeSet,
+                              p: MatchParams,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Cascade screen: (P,) bool — could this pair possibly score > 0 under
+    the full pass? Promotes any pair with a positive hypothesis score OR any
+    raw inliers under any screen hypothesis (a superset of the full pass's
+    positive-score pairs, so the cascade stays exact), minus the hard
+    rejects (<8 minutiae, spatial-std mismatch) that the full pass would
+    zero anyway. Skips the Kabsch/re-match/cross-check finish entirely —
+    the screen phase dominates all-pairs cost."""
+    from .ransac import _masked_mean
+
+    scores, counts, _, _ = hypothesis_scores_pallas_grouped(
+        a, b, p, interpret)
+
+    na = jnp.sum(a.valid.astype(jnp.int32), axis=-1)
+    nb = jnp.sum(b.valid.astype(jnp.int32), axis=-1)
+
+    def _std(ms):
+        m = ms.valid[..., None]
+        mu = _masked_mean(ms.xy, m, axis=-2)
+        return jnp.sqrt(_masked_mean((ms.xy - mu[..., None, :]) ** 2, m,
+                                     axis=-2))
+
+    reject = ((na < 8) | (nb < 8)
+              | (jnp.linalg.norm(_std(a) - _std(b), axis=-1) > 35.0))
+    # Promote on any hypothesis reaching the (already-relaxed) screen
+    # min_inliers: random impostors frequently collect 1-2 accidental
+    # inliers, so a raw any-inlier rule promotes ~half the gallery.
+    hit = (jnp.max(scores, axis=-1) > 0.0) | (
+        jnp.max(counts, axis=-1) >= p.min_inliers)
+    return hit & ~reject

@@ -176,6 +176,59 @@ def shard_pairs_scores(gallery: MinutiaeSet, pairs, mesh: Mesh,
     return np.asarray(s)[:p_total], np.asarray(n)[:p_total]
 
 
+def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
+                       params: MatchParams = MatchParams(),
+                       axis_name: str = "gallery",
+                       chunk: int = 2048,
+                       use_pallas: bool | None = None) -> np.ndarray:
+    """Cascade screen over an explicit pair list: (P,) bool promotion mask.
+    On TPU this skips the matcher's finish stage entirely
+    (`screen_pairs_batch_pallas`); the CPU fallback derives the mask from
+    the full matcher."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    pairs = np.asarray(pairs, np.int32)
+    p_total = pairs.shape[0]
+    n_dev = mesh.devices.size
+    per_dev = -(-p_total // (n_dev * chunk)) * chunk
+    pad = n_dev * per_dev - p_total
+    if pad:
+        pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
+
+    spec = P(axis_name)
+    rep = jax.tree.map(lambda _: P(), gallery)
+
+    if use_pallas:
+        from ..matching.pallas_match import screen_pairs_batch_pallas
+
+        def screen(a, b):
+            return screen_pairs_batch_pallas(a, b, params)
+    else:
+        def screen(a, b):
+            r = match_pairs_batch(a, b, params)
+            return (r.final_score > 0.0) | (r.n_inliers > 0)
+
+    def device_fn(local_pairs, g: MinutiaeSet):
+        chunks = local_pairs.reshape(-1, chunk, 2)
+
+        def one(c):
+            a = take_templates(g, c[:, 0])
+            b = take_templates(g, c[:, 1])
+            return screen(a, b)
+
+        return lax.map(one, chunks).reshape(-1)
+
+    fn = jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(spec, rep),
+        out_specs=spec,
+        check_rep=False,
+    ))
+    out = fn(jnp.asarray(pairs), gallery)
+    return np.asarray(out)[:p_total]
+
+
 def unique_pairs(n: int) -> np.ndarray:
     """(N*(N-1)/2, 2) upper-triangle index pairs (i < j)."""
     iu = np.triu_indices(n, k=1)
@@ -206,10 +259,10 @@ def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
     screen_p = params._replace(
         ransac_iter=screen_iters,
         min_inliers=max(3, params.min_inliers - 2))
-    s0, n0 = shard_pairs_scores(gallery, pairs, mesh, screen_p,
-                                axis_name, chunk, use_pallas)
+    promising = shard_pairs_screen(gallery, pairs, mesh, screen_p,
+                                   axis_name, chunk, use_pallas)
     out = np.zeros(pairs.shape[0], np.float64)
-    idx = np.nonzero((s0 > 0.0) | (n0 > 0))[0]
+    idx = np.nonzero(promising)[0]
     if idx.size:
         s1, _ = shard_pairs_scores(gallery, pairs[idx], mesh, params,
                                    axis_name, chunk, use_pallas)
