@@ -1,20 +1,22 @@
-"""Pallas RANSAC hypothesis-scoring kernel.
+"""Pallas RANSAC hypothesis-scoring kernels (reference: src/matching/match.py).
 
-The XLA matcher is VPU/HBM-bound at ~950 pairs/s (300 hypotheses each): each
-hypothesis round-trips (K, K) tensors through HBM. Here one grid element =
-one pair; the minutiae sets (K=64 rows) and all per-hypothesis work live in
-VMEM, and the H hypotheses run in an in-kernel `fori_loop`.
+Default path: the GROUPED kernel (`_grouped_kernel`) — G=64 hypotheses per
+grid step in one 2-D (K, K*G) layout, butterfly roll-min reductions over
+the interleaved gallery axis, and one-hot MXU extraction of the nearest
+neighbor's attributes so all gate/score math runs on (K, G) tiles. 41k
+1:1 pairs/s at 300 hypotheses on one v5e chip (the round-1
+one-hypothesis-per-`fori`-step kernel, kept below as `_match_kernel` for
+independent validation, did 2,649; the XLA matcher ~950).
 
-Exact parity with the XLA path (`ransac._hypothesis`): the RNG-dependent
-part — the weight-proportional (ia, ib) sample per hypothesis — is computed
-OUTSIDE with the same jax.random calls and enters the kernel as precomputed
-per-hypothesis scalars (theta, t, has_cand) in SMEM. The kernel reproduces
-`_match_with_transform` in matrix form: nearest-neighbor selection becomes a
-first-argmin indicator (d2 == rowmin, first occurrence), so no gathers are
-needed (Mosaic forbids unaligned dynamic VMEM indexing).
+Exact parity with the XLA path: hypothesis sampling
+(`ransac.sample_hypotheses`, vectorized inverse-CDF over pair-independent
+uniforms) is shared by both, and the kernel reproduces
+`_match_with_transform` with first-argmin tie-breaks matching `jnp.argmin`.
+Selection, Kabsch refine and cross-check stay in XLA (`_finish_match`, once
+per pair); `screen_pairs_batch_pallas` skips them for the cascade's screen
+phase.
 
-Outputs per pair: (H,) hypothesis scores and inlier counts; selection,
-Kabsch refine and cross-check stay in XLA (they run once per pair).
+See docs/PERF.md for the Mosaic layout rules this file navigates.
 """
 
 from __future__ import annotations
