@@ -54,3 +54,54 @@ def test_cascade_matches_full_on_genuine_and_impostor(rng):
     # impostor scores stay non-positive-biased: cascade <= full + eps
     assert (casc["final_score"] <= full["final_score"] + 1e-6).all()
     assert full["final_score"][0] > 0.3  # sanity: genuine matched
+
+
+def test_screen_kernel_promotes_all_scoring_pairs(rng):
+    """The finish-free screen (interpret mode) must promote every pair the
+    full matcher scores > 0 under the SAME hypothesis budget, and reject
+    the bulk of impostors."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.features.minutiae import (
+        MinutiaeSet,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.matching import (
+        MatchParams, match_pairs_batch,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.matching.pallas_match import (
+        screen_pairs_batch_pallas,
+    )
+
+    k, n, pnum = 64, 40, 8
+    g = np.random.default_rng(3)
+    xy = g.uniform(40, 200, (pnum, k, 2)).astype(np.float32)
+    ori = g.uniform(-np.pi, np.pi, (pnum, k)).astype(np.float32)
+    ty = g.integers(0, 2, (pnum, k)).astype(np.float32)
+    q = g.uniform(0.4, 1, (pnum, k)).astype(np.float32)
+    valid = np.zeros((pnum, k), bool)
+    valid[:, :n] = True
+    j = jnp.asarray
+    a = MinutiaeSet(xy=j(xy), orientation=j(ori), minutia_type=j(ty),
+                    quality=j(q), coherence=j(q), angular_stability=j(q),
+                    valid=j(valid))
+    # first half genuine (rigid copies + noise), second half impostor
+    th = np.radians(8.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    xyb = xy @ rot.T + np.array([4.0, -2.0], np.float32) \
+        + g.normal(0, 0.8, xy.shape).astype(np.float32)
+    orib = ori + th
+    xyb[pnum // 2:] = g.uniform(40, 200, (pnum // 2, k, 2))
+    orib[pnum // 2:] = g.uniform(-np.pi, np.pi, (pnum // 2, k))
+    b = MinutiaeSet(xy=j(xyb), orientation=j(orib), minutia_type=j(ty),
+                    quality=j(q), coherence=j(q), angular_stability=j(q),
+                    valid=j(valid))
+
+    p = MatchParams(ransac_iter=32, min_inliers=6)
+    promoted = np.asarray(screen_pairs_batch_pallas(a, b, p, interpret=True))
+    full = np.asarray(match_pairs_batch(a, b, p).final_score)
+    # every scoring pair is promoted (the cascade-exactness contract)
+    assert (promoted | (full == 0.0)).all(), (promoted, full)
+    # genuine half promoted, impostor half rejected on this fixture
+    assert promoted[: pnum // 2].all()
+    assert not promoted[pnum // 2:].any()
