@@ -404,11 +404,19 @@ def screen_pairs_batch_pallas(a: MinutiaeSet, b: MinutiaeSet,
                               interpret: bool = False) -> jnp.ndarray:
     """Cascade screen: (P,) bool — could this pair possibly score > 0 under
     the full pass? Promotes any pair with a positive hypothesis score OR any
-    raw inliers under any screen hypothesis (a superset of the full pass's
-    positive-score pairs, so the cascade stays exact), minus the hard
+    hypothesis reaching the (relaxed) screen min_inliers, minus the hard
     rejects (<8 minutiae, spatial-std mismatch) that the full pass would
     zero anyway. Skips the Kabsch/re-match/cross-check finish entirely —
-    the screen phase dominates all-pairs cost."""
+    the screen phase dominates all-pairs cost.
+
+    Exactness caveat: the superset-of-positive-pairs guarantee is exact only
+    at equal hypothesis budget (``p.full_iters in (0, p.ransac_iter)``). In
+    production the screen runs fewer hypotheses than the full pass; setting
+    ``p.full_iters`` to the full budget makes the screen's hypotheses a true
+    prefix of the full pass's, so a miss can only come from a genuine pair
+    whose good transforms are sampled exclusively in the hypothesis tail —
+    mitigated by the min_inliers-2 relaxation, and bounded empirically by
+    the cascade-on/off EER agreement tests."""
     from .ransac import _masked_mean
 
     scores, counts, _, _ = hypothesis_scores_pallas_grouped(

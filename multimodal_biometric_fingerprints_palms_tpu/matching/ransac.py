@@ -48,6 +48,10 @@ class MatchParams(NamedTuple):
     stop_inlier_ratio: float = 0.25
     cross_check: bool = True
     seed: int = 42
+    # When > ransac_iter, uniforms are drawn at this length and the first
+    # ransac_iter rows used — so a cascade screen's hypotheses are a true
+    # prefix of the full pass's (same seed, same sequence).
+    full_iters: int = 0
 
 
 class MatchResult(NamedTuple):
@@ -135,15 +139,28 @@ def hypothesis_uniforms(p: MatchParams) -> jnp.ndarray:
     same seed series 42+i for every pair (match.py:146-150), so the uniforms
     are pair-independent and are generated ONCE — per-hypothesis
     `split`+`categorical` threefry chains were the matcher's single biggest
-    cost (58 of 68 ms per 512-pair batch on a v5e chip)."""
+    cost (58 of 68 ms per 512-pair batch on a v5e chip).
+
+    When ``p.full_iters > p.ransac_iter`` (the cascade's screen pass), the
+    sequence is drawn at the full length and sliced, so the screen's
+    hypotheses are exactly the first ``ransac_iter`` of the full pass's —
+    a pair the screen promotes was judged on a subset of the hypotheses
+    the full pass will see."""
     key = jax.random.PRNGKey(p.seed)
-    return jax.random.uniform(key, (p.ransac_iter, 2), jnp.float32)
+    n = max(p.full_iters, p.ransac_iter)
+    return jax.random.uniform(key, (n, 2), jnp.float32)[:p.ransac_iter]
 
 
 def _first_hit(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """One-hot indicator of the first index where cdf exceeds u (inverse-CDF
-    sampling without gathers; (…, K) cdf, (…, 1) u)."""
-    sel = cdf > u
+    sampling without gathers; (…, K) cdf, (…, 1) u).
+
+    When u is close enough to 1 that u*total rounds up to total in f32,
+    `cdf > u` can be all-false; the `cdf >= total` term forces a hit at the
+    last positive-weight index (the first slot where the cdf reaches its
+    total) without changing the normal case, where the first `cdf > u` hit
+    is always at or before that slot."""
+    sel = (cdf > u) | (cdf >= cdf[..., -1:])
     prev = jnp.concatenate(
         [jnp.zeros(sel.shape[:-1] + (1,), bool), sel[..., :-1]], axis=-1)
     return (sel & ~prev).astype(jnp.float32)

@@ -48,9 +48,9 @@ def _jit_screen_batch(a, b, params):
 
 import logging
 
-# DEBUG so the per-pair audit trail (reference FRR.py:33-60) lands in the log.
-logger = get_file_logger(__name__, "data/metadata/matching.log",
-                         level=logging.DEBUG)
+# File handler + level are attached in main() from logging.* config keys;
+# library use of this module never writes files on import.
+logger = logging.getLogger(__name__)
 
 
 def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
@@ -73,7 +73,10 @@ def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
                 "theta": np.zeros(0), "t": np.zeros((0, 2))}
 
     if cascade and params.ransac_iter > screen_iters:
+        # full_iters makes the screen's hypotheses a true prefix of the
+        # full pass's uniform sequence (same seed, sliced draw).
         screen_p = params._replace(ransac_iter=screen_iters,
+                                   full_iters=params.ransac_iter,
                                    min_inliers=max(3, params.min_inliers - 2))
         if jax.default_backend() == "tpu":
             # finish-free screen kernel (promote bit only) — 1.4x the
@@ -138,7 +141,11 @@ def _log_pair_scores(ds: MinutiaeDataset, pairs: np.ndarray, res: dict,
                      kind: str):
     """Per-pair DEBUG audit trail into matching.log — the reference logged
     every comparison's score and transform (FRR.py:33-60,
-    match_features.py:17-22); we restore that observability here."""
+    match_features.py:17-22). Gated behind logging.debug_pairs: the Python
+    loop and log size grow with the pair count (1M+ lines on full
+    all-pairs runs)."""
+    if not logger.isEnabledFor(logging.DEBUG):
+        return
     for p, (i, j) in enumerate(pairs):
         logger.debug(
             "%s pair %s[%d] vs %s[%d]: score=%.6f inliers=%d "
@@ -180,6 +187,13 @@ def main(config_path: str | None = None, demo: bool = False,
     base = minutiae_base or cfg.get("data.minutiae_base",
                                     "dataset/processed/minutiae")
     logs = Path(logs_dir)
+    # Audit log lives under the run's logs dir by default (the reference
+    # wrote data/metadata/matching.log, match_features.py:17-22 — a
+    # git-trackable location); per-pair DEBUG lines are opt-in.
+    debug_pairs = bool(cfg.get("logging.debug_pairs", False))
+    get_file_logger(__name__,
+                    cfg.get("logging.logfile", str(logs / "matching.log")),
+                    level=logging.DEBUG if debug_pairs else logging.INFO)
 
     if cfg.get("system.deterministic", True):
         np.random.seed(cfg.get("ransac.seed", 42))

@@ -258,6 +258,7 @@ def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
         return s
     screen_p = params._replace(
         ransac_iter=screen_iters,
+        full_iters=params.ransac_iter,
         min_inliers=max(3, params.min_inliers - 2))
     promising = shard_pairs_screen(gallery, pairs, mesh, screen_p,
                                    axis_name, chunk, use_pallas)

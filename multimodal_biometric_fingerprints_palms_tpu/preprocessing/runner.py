@@ -110,11 +110,18 @@ def run_preprocessing(input_dir: str | Path,
         return {"num_images": 0}
 
     shape = _canonical_shape([m[1] for m in metas])
-    if gabor is None:  # config-gated (preprocessing.gabor.enabled)
+    # Config-gated (preprocessing.gabor.enabled); the configured params
+    # (n_orientations, block_size, kernel_size, ...) apply whether gabor was
+    # requested explicitly or via config, and the gate key itself is
+    # stripped before reaching preprocess_fingerprint.
+    if gabor is None or gabor:
         from ..config import load_fingerprint_config
         gcfg = load_fingerprint_config().get("preprocessing.gabor", {}) or {}
-        gabor = bool(gcfg.get("enabled", False)) if hasattr(gcfg, "get") else False
-        gabor_params = dict(gcfg) if gabor else None
+        gcfg = dict(gcfg) if hasattr(gcfg, "get") else {}
+        if gabor is None:
+            gabor = bool(gcfg.get("enabled", False))
+        gcfg.pop("enabled", None)
+        gabor_params = gcfg if gabor else None
     else:
         gabor_params = None
     import functools
