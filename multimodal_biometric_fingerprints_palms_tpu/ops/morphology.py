@@ -175,7 +175,13 @@ def binary_reconstruction_by_dilation(marker: jnp.ndarray, mask: jnp.ndarray,
                                       substeps: int = 8) -> jnp.ndarray:
     """Binary geodesic reconstruction: iterate marker <- dilate3x3(marker) &
     mask. ``substeps`` dilations per while-loop iteration amortize the
-    convergence check."""
+    convergence check. On TPU this routes to the marker-reachability CC
+    kernel (`pallas_cc.binary_reconstruct_pallas`) — same fixpoint, but
+    scans propagate along whole runs instead of 1 px per dilation."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        from .pallas_cc import binary_reconstruct_pallas
+        return binary_reconstruct_pallas(marker, mask, connectivity=2)
     from .filters import conv2d_same
     k = jnp.ones((3, 3), jnp.float32)
     marker = jnp.logical_and(marker.astype(bool), mask.astype(bool))

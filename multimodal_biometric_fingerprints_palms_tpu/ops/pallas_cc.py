@@ -60,57 +60,53 @@ def _seg_min_doubling(v, blocked, axis: int, length: int, reverse: bool,
     return v
 
 
+# --- int32 segment-keyed relaxation -----------------------------------------
+#
+# The (value, blocked)-carry doubling above costs ~10 VPU ops per step. The
+# key encoding below folds the segment structure into the VALUE so each
+# doubling step is a plain roll+fill+min (3 ops): with labels
+# lin = r*w + c < 2^17 (PolyU-sized frames) and seg = exclusive prefix count
+# of background cells along the scan axis, the int32 key
+#
+#   key_fwd = label - seg * 2^17
+#
+# is strictly decreasing across segment starts (later segments sit whole
+# 2^17-blocks lower), so an UNsegmented prefix-min at a foreground cell
+# always lands inside the cell's own segment; adding seg*2^17 back decodes
+# the segment-min. Suffix scans flip the sign (key_bwd = label + seg*2^17).
+# Background cells carry label 2^28, which dominates every foreground key
+# regardless of segment. All quantities stay below 2^28 + 2^26 — exact in
+# int32 (and the seg bases are reused across every sweep of a relaxation).
+
+_SEG_SCALE = 1 << 17
+_INF_I = 1 << 28
+
+
+def _shift_no_wrap_i(x, shift: int, axis: int, fill: int):
+    size = x.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if shift >= 0:
+        rolled = pltpu.roll(x, shift, axis)
+        return jnp.where(idx < shift, fill, rolled)
+    rolled = pltpu.roll(x, size + shift, axis)
+    return jnp.where(idx >= size + shift, fill, rolled)
+
+
+def _prefix_count_excl(m: jnp.ndarray, axis: int, length: int) -> jnp.ndarray:
+    """Exclusive prefix sum of an int32 0/1 array along axis (doubling)."""
+    acc = _shift_no_wrap_i(m, 1, axis, 0)   # shift once: exclusive
+    shift = 1
+    while shift < length:
+        acc = acc + _shift_no_wrap_i(acc, shift, axis, 0)
+        shift *= 2
+    return acc
+
+
 def _cc_kernel(mask_ref, label_ref, *, h: int, w: int, connectivity: int,
                max_iters: int):
     fg = mask_ref[0] > 0.5                                   # (h, w) bool
-    fgf = fg.astype(jnp.float32)
-    not_fg = 1.0 - fgf
-
-    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    lin = (rows * w + cols).astype(jnp.float32)
-    label0 = jnp.where(fg, lin, _INF)
-
-    def scan_dir(v, axis, reverse):
-        out = _seg_min_doubling(v, not_fg, axis, h if axis == 0 else w,
-                                reverse)
-        return jnp.where(fg, out, _INF)
-
-    def stencil(v):
-        vm = jnp.where(fg, v, _INF)
-        best = vm
-        if connectivity == 2:
-            offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                    (1, -1), (1, 0), (1, 1)]
-        else:
-            offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-        for dy, dx in offs:
-            s = vm
-            if dy != 0:
-                s = _shift_no_wrap(s, dy, 0, _INF)
-            if dx != 0:
-                s = _shift_no_wrap(s, dx, 1, _INF)
-            best = jnp.minimum(best, s)
-        return jnp.where(fg, jnp.minimum(v, best), _INF)
-
-    def sweep(v):
-        v = scan_dir(v, 1, False)
-        v = scan_dir(v, 1, True)
-        v = scan_dir(v, 0, False)
-        v = scan_dir(v, 0, True)
-        return stencil(v)
-
-    def cond(state):
-        v, prev, i = state
-        return jnp.logical_and(i < max_iters, jnp.any(v != prev))
-
-    def body(state):
-        v, _, i = state
-        return sweep(v), v, i + 1
-
-    first = sweep(label0)
-    v, _, _ = lax.while_loop(cond, body, (first, label0, jnp.int32(1)))
-    label_ref[0] = jnp.where(fg, v, _INF).astype(jnp.int32)
+    v = _label_relax(fg, h, w, connectivity, max_iters)
+    label_ref[0] = v.astype(jnp.int32)
 
 
 def connected_components_pallas(mask: jnp.ndarray, connectivity: int = 2,
@@ -156,57 +152,84 @@ def connected_components_pallas(mask: jnp.ndarray, connectivity: int = 2,
 # ---------------------------------------------------------------------------
 
 
-def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int):
-    """The CC relaxation from `_cc_kernel`, as a reusable function on
-    values: returns f32 labels (component-min linear index; _INF bg)."""
-    fgf = fg.astype(jnp.float32)
-    not_fg = 1.0 - fgf
+def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
+                 max_shift: int | None = None, label0=None):
+    """CC relaxation on values with int32 segment-keyed scans (see the key
+    encoding note above): per sweep, a forward+backward keyed min-scan along
+    each axis plus a 3x3/cross min stencil, iterated to fixpoint. Returns
+    f32 labels (component-min linear index; _INF bg) — exact in f32, the
+    downstream histogram phases consume f32.
 
-    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    lin = (rows * w + cols).astype(jnp.float32)
-    label0 = jnp.where(fg, lin, _INF)
+    ``label0`` overrides the initial int32 labels (values must stay in
+    [0, 2^17) at fg cells); geodesic reachability (binary reconstruction)
+    is the special case label0 = 0 at markers."""
+    assert h * w < _SEG_SCALE, (h, w)
+    fg = jnp.asarray(fg, bool)
+    bg_i = (~fg).astype(jnp.int32)
 
-    def scan_dir(v, axis, reverse):
-        out = _seg_min_doubling(v, not_fg, axis, h if axis == 0 else w,
-                                reverse)
-        return jnp.where(fg, out, _INF)
+    if label0 is None:
+        rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        label0 = rows * w + cols
+    label0 = jnp.where(fg, label0, _INF_I)
+
+    # Per-axis segment bases, computed once and reused by every sweep.
+    base_w = _prefix_count_excl(bg_i, 1, w) * _SEG_SCALE
+    base_h = _prefix_count_excl(bg_i, 0, h) * _SEG_SCALE
+
+    def dir_pass(v, base, axis, length, forward: bool):
+        """One keyed directional min-scan; sequential composition (each
+        direction sees the previous one's labels, like the original
+        4-scan sweep) propagates further per sweep than paired scans."""
+        if max_shift is not None:
+            length = min(length, max_shift + 1)
+        sgn = 1 if forward else -1
+        key = (v - base) if forward else (v + base)
+        shift = 1
+        while shift < length:
+            key = jnp.minimum(key,
+                              _shift_no_wrap_i(key, sgn * shift, axis, _INF_I))
+            shift *= 2
+        out = (key + base) if forward else (key - base)
+        return jnp.where(fg, out, _INF_I)
+
+    if connectivity == 2:
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                (1, -1), (1, 0), (1, 1)]
+    else:
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
 
     def stencil(v):
-        vm = jnp.where(fg, v, _INF)
-        best = vm
-        if connectivity == 2:
-            offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                    (1, -1), (1, 0), (1, 1)]
-        else:
-            offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        best = v
         for dy, dx in offs:
-            s = vm
+            s = v
             if dy != 0:
-                s = _shift_no_wrap(s, dy, 0, _INF)
+                s = _shift_no_wrap_i(s, dy, 0, _INF_I)
             if dx != 0:
-                s = _shift_no_wrap(s, dx, 1, _INF)
+                s = _shift_no_wrap_i(s, dx, 1, _INF_I)
             best = jnp.minimum(best, s)
-        return jnp.where(fg, jnp.minimum(v, best), _INF)
+        return jnp.where(fg, best, _INF_I)
 
     def sweep(v):
-        v = scan_dir(v, 1, False)
-        v = scan_dir(v, 1, True)
-        v = scan_dir(v, 0, False)
-        v = scan_dir(v, 0, True)
+        v = dir_pass(v, base_w, 1, w, True)
+        v = dir_pass(v, base_w, 1, w, False)
+        v = dir_pass(v, base_h, 0, h, True)
+        v = dir_pass(v, base_h, 0, h, False)
         return stencil(v)
 
+    # Two sweeps per loop iteration: halves the convergence-check reduces
+    # at the cost of at most one extra sweep after the fixpoint.
     def cond(state):
         v, prev, i = state
         return jnp.logical_and(i < max_iters, jnp.any(v != prev))
 
     def body(state):
         v, _, i = state
-        return sweep(v), v, i + 1
+        return sweep(sweep(v)), v, i + 2
 
     first = sweep(label0)
     v, _, _ = lax.while_loop(cond, body, (first, label0, jnp.int32(1)))
-    return jnp.where(fg, v, _INF)
+    return jnp.where(fg, v.astype(jnp.float32), _INF)
 
 
 def _pixel_size_map(label_f, fg, h: int, w: int, count_ref, lab_ref,
@@ -353,6 +376,50 @@ def cc_filter_pallas(mask: jnp.ndarray, mode: str, connectivity: int = 2,
     return (out > 0.5).reshape(mask.shape)
 
 
+def _reconstruct_kernel(marker_ref, mask_ref, out_ref, *, h: int, w: int,
+                        connectivity: int, max_iters: int):
+    fg = mask_ref[0] > 0.5
+    marker = jnp.logical_and(marker_ref[0] > 0.5, fg)
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lin1 = rows * w + cols + 1                       # 0 reserved for markers
+    label0 = jnp.where(marker, 0, lin1)
+    v = _label_relax(fg, h, w, connectivity, max_iters, label0=label0)
+    out_ref[0] = jnp.logical_and(fg, v == 0.0).astype(jnp.float32)
+
+
+def binary_reconstruct_pallas(marker: jnp.ndarray, mask: jnp.ndarray,
+                              connectivity: int = 2, max_iters: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Binary geodesic reconstruction by dilation as marker REACHABILITY:
+    keep the components of ``mask`` that contain a marker pixel. Exactly the
+    fixpoint of `morphology.binary_reconstruction_by_dilation` (3x3 full
+    kernel = connectivity 2), but via the keyed CC relaxation — scan steps
+    propagate along whole runs, where geodesic dilation crawls 1 px per
+    step, and no size-histogram phases are needed."""
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    kern = functools.partial(_reconstruct_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(marker.reshape(b, h, w).astype(jnp.float32),
+      mask.reshape(b, h, w).astype(jnp.float32))
+    return (out > 0.5).reshape(mask.shape)
+
+
 # ---------------------------------------------------------------------------
 # Zhang-Suen skeletonization, VMEM-resident.
 #
@@ -397,6 +464,85 @@ def _zs_subpass(img, first: bool):
               & (a > 0.5) & (a < 1.5)
               & c1 & c2)
     return jnp.where(remove, 0.0, img)
+
+
+def _thin_fused_kernel(bin_ref, rel_ref, out_ref, count_ref, lab_ref,
+                       sizes_ref, *, h: int, w: int, min_size: int,
+                       max_size: int, rel_thresh: float, cc_iters: int,
+                       zs_iters: int):
+    """clean_mask(min,max) -> reliability gate -> Zhang-Suen -> prune, all
+    VMEM-resident (the thin stage of fingerprint_preprocess.py:161-177 as
+    one kernel — the XLA composition round-trips every intermediate
+    through HBM)."""
+    fg = bin_ref[0] > 0.5
+    label = _label_relax(fg, h, w, 1, cc_iters)
+    sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+    kept = jnp.logical_and(fg, sizes >= float(min_size))
+    inv = jnp.logical_not(kept)
+    label2 = _label_relax(inv, h, w, 1, cc_iters)
+    sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+    cleaned = jnp.logical_or(kept,
+                             jnp.logical_and(inv, sizes2 < float(max_size)))
+
+    m = jnp.logical_and(cleaned, rel_ref[0] > rel_thresh)
+    img0 = m.astype(jnp.float32)
+
+    def cond(state):
+        img, prev, i = state
+        return jnp.logical_and(i < zs_iters, jnp.any(img != prev))
+
+    def body(state):
+        img, _, i = state
+        new = _zs_subpass(img, True)
+        new = _zs_subpass(new, False)
+        return new, img, i + 1
+
+    first = _zs_subpass(_zs_subpass(img0, True), False)
+    img, _, _ = lax.while_loop(cond, body, (first, img0, jnp.int32(1)))
+
+    # prune isolated tips: keep pixels with at least one 8-neighbor
+    nc = jnp.zeros_like(img)
+    for p in _zs_ring(img):
+        nc = nc + p
+    out_ref[0] = jnp.where(nc >= 1.0, img, 0.0)
+
+
+def thin_fused_pallas(binary_smooth: jnp.ndarray, rel_smooth: jnp.ndarray,
+                      min_size: int = 64, max_size: int = 80,
+                      rel_thresh: float = 0.1, cc_iters: int = 512,
+                      zs_iters: int = 128,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused thinning_and_cleaning core (enhance.thinning_and_cleaning):
+    takes the smoothed binary and the ALREADY-BLURRED reliability map."""
+    lead = binary_smooth.shape[:-2]
+    h, w = binary_smooth.shape[-2:]
+    assert h % 8 == 0, h
+    b = 1
+    for d in lead:
+        b *= d
+    nhi = -(-(h * w + 1) // 256)
+    nhi = -(-nhi // 8) * 8
+    kern = functools.partial(_thin_fused_kernel, h=h, w=w,
+                             min_size=min_size, max_size=max_size,
+                             rel_thresh=rel_thresh, cc_iters=cc_iters,
+                             zs_iters=zs_iters)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(binary_smooth.reshape(b, h, w).astype(jnp.float32),
+      rel_smooth.reshape(b, h, w).astype(jnp.float32))
+    return (out > 0.5).reshape(binary_smooth.shape)
 
 
 def _skeleton_kernel(mask_ref, out_ref, *, max_iters: int):

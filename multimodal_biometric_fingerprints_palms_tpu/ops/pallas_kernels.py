@@ -229,6 +229,281 @@ def nlm_denoise_pallas_blocked(img: jnp.ndarray, h: float = 10.0,
 # ---------------------------------------------------------------------------
 
 
+def _binarize_fused_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
+                           bin2_ref, hist_ref, *,
+                           h: int, w: int, win: int, k: float, patch: int,
+                           min_size: int, max_size: int, cc_iters: int):
+    """The whole binarize stage after CLAHE as one VMEM pass
+    (fingerprint_preprocess.py:49-81): adaptive Sauvola -> per-patch Otsu
+    OR-refinement -> small-object/hole cleanup (keyed CC relax + size
+    histograms) -> 3x3 ellipse open -> erode marker -> geodesic
+    reconstruction as marker reachability."""
+    from .pallas_cc import _label_relax, _pixel_size_map
+
+    x = img_ref[0]                                            # (h, w) [0,1]
+    f32 = jnp.float32
+
+    # --- adaptive Sauvola (fingerprint_preprocess.py:49-57) ---
+    n = float(win * win)
+    mean = _box_sum_same(x, win) / n
+    sqmean = _box_sum_same(x * x, win) / n
+    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
+    std_n = std / (jnp.max(std) + 1e-6)
+    k_map = k * (1.0 - 0.5 * std_n)
+    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
+    binary = (x < sauv).astype(f32)
+
+    # --- per-patch Otsu OR-refinement (:60-71) ---
+    gh, gw = h // patch, w // patch
+    np_tiles = gh * gw
+    bins_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(f32)
+    col_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 1)
+    q_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 0)
+    selp = (q_iota == col_iota // patch).astype(jnp.bfloat16)  # (gw, w)
+
+    hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    def hist_chunk(c, _):
+        rows = jnp.clip(jnp.round(img_ref[0, pl.ds(c * 8, 8), :] * 255.0),
+                        0.0, 255.0)
+        ty = (c * 8) // patch
+        sumoh = jnp.zeros((256, w), jnp.bfloat16)
+        for kk in range(8):
+            sumoh = sumoh + (bins_iota == rows[kk:kk + 1, :]).astype(
+                jnp.bfloat16)
+        band = lax.dot_general(selp, sumoh, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)     # (gw, 256)
+        hist_ref[pl.ds(ty * gw, gw), :] = (
+            hist_ref[pl.ds(ty * gw, gw), :] + band)
+        return _
+
+    lax.fori_loop(0, h // 8, hist_chunk, None)
+
+    # Otsu per patch + patch mean/std from the same histograms.
+    hist = hist_ref[:]                                         # (np, 256)
+    area = float(patch * patch)
+    p = hist / area
+    bins_row = lax.broadcasted_iota(jnp.int32, (np_tiles, 256), 1).astype(f32)
+    r_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    c_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    up = (r_iota <= c_iota).astype(f32)
+    omega = lax.dot_general(p, up, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    mu = lax.dot_general(p * bins_row, up, (((1,), (0,)), ((), ())),
+                         preferred_element_type=f32)
+    mu_t = mu[:, -1:]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 1e-8,
+                        (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-8),
+                        0.0)
+    smax = jnp.max(sigma_b, axis=-1, keepdims=True)
+    first = jnp.min(jnp.where(sigma_b == smax, bins_row, 256.0), axis=-1,
+                    keepdims=True)
+    thr = first / 255.0                                        # (np, 1)
+    e1 = mu_t / 255.0                                          # E[x] in [0,1]
+    e2 = jnp.sum(p * (bins_row / 255.0) ** 2, axis=-1, keepdims=True)
+    p_std = jnp.sqrt(jnp.maximum(e2 - e1 * e1, 0.0))           # (np, 1)
+    refine_ok = (p_std >= 3.0 / 255.0).astype(f32)             # (np, 1)
+
+    # Stash (thr, ok) back into the hist scratch so band rows can be
+    # dynamically sliced (pl.ds needs a ref, and gw-row starts are aligned).
+    zpad = jnp.zeros((hist.shape[0], 254), f32)
+    hist_ref[:] = jnp.concatenate([thr, refine_ok, zpad], axis=1)
+
+    selp_f = selp.astype(f32)
+
+    def refine_chunk(c, _):
+        ty = (c * 8) // patch
+        band = hist_ref[pl.ds(ty * gw, gw), :]                 # (gw, 256)
+        thr_band = band[:, 0:1]
+        ok_band = band[:, 1:2]
+        thr_cols = jnp.sum(selp_f * thr_band, axis=0, keepdims=True)  # (1, w)
+        ok_cols = jnp.sum(selp_f * ok_band, axis=0, keepdims=True)
+        xr = img_ref[0, pl.ds(c * 8, 8), :]
+        ref_rows = ((xr < thr_cols) & (ok_cols > 0.5)).astype(f32)
+        bin2_ref[pl.ds(c * 8, 8), :] = ref_rows
+        return _
+
+    lax.fori_loop(0, h // 8, refine_chunk, None)
+    binary = jnp.maximum(binary, bin2_ref[:])
+
+    # --- cleanup: remove_small_objects(min_size) + remove_small_holes ---
+    fg = binary > 0.5
+    label = _label_relax(fg, h, w, 1, cc_iters)
+    sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+    kept = jnp.logical_and(fg, sizes >= float(min_size))
+    inv = jnp.logical_not(kept)
+    label2 = _label_relax(inv, h, w, 1, cc_iters)
+    sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+    cleaned = jnp.logical_or(kept,
+                             jnp.logical_and(inv, sizes2 < float(max_size)))
+
+    # --- 3x3 ellipse (cross) open + erode marker (:76-79) ---
+    def cross_reduce(m, op, fill):
+        best = m
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            s = _shift01(m, dy, dx, fill)
+            best = op(best, s)
+        return best
+
+    cf = cleaned.astype(f32)
+    er = cross_reduce(cf, jnp.minimum, 0.0)
+    opened = cross_reduce(er, jnp.maximum, 0.0)
+    marker = cross_reduce(opened, jnp.minimum, 0.0)
+
+    # --- reconstruction as marker reachability (:79-81) ---
+    ofg = opened > 0.5
+    rows_i = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    lin1 = rows_i * w + cols_i + 1
+    label0 = jnp.where(jnp.logical_and(marker > 0.5, ofg), 0, lin1)
+    vreach = _label_relax(ofg, h, w, 2, cc_iters, label0=label0)
+    out_ref[0] = jnp.where(jnp.logical_and(ofg, vreach == 0.0), 1.0, 0.0)
+
+
+def _shift01(m, dy: int, dx: int, fill: float):
+    """Static 2-D shift with fill (shared by the fused binarize kernel)."""
+    from .pallas_cc import _shift_no_wrap
+    s = m
+    if dy != 0:
+        s = _shift_no_wrap(s, dy, 0, fill)
+    if dx != 0:
+        s = _shift_no_wrap(s, dx, 1, fill)
+    return s
+
+
+def binarize_fused_pallas(img_eq: jnp.ndarray, win: int = 25, k: float = 0.25,
+                          patch: int = 32, min_size: int = 80,
+                          max_size: int = 150, cc_iters: int = 512,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Everything in enhance.binarize AFTER the CLAHE call, as one kernel.
+    img_eq: (..., H, W) [0,1] on the u8 grid. Returns a boolean ridge mask."""
+    lead = img_eq.shape[:-2]
+    h, w = img_eq.shape[-2:]
+    assert h % 8 == 0 and h % patch == 0 and w % patch == 0, (h, w)
+    b = 1
+    for d in lead:
+        b *= d
+    nhi = -(-(h * w + 1) // 256)
+    nhi = -(-nhi // 8) * 8
+    np_tiles = (h // patch) * (w // patch)
+    npt = -(-np_tiles // 8) * 8
+    kern = functools.partial(_binarize_fused_kernel, h=h, w=w, win=win, k=k,
+                             patch=patch, min_size=min_size,
+                             max_size=max_size, cc_iters=cc_iters)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((npt, 256), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(img_eq.reshape(b, h, w).astype(jnp.float32))
+    return (out > 0.5).reshape(img_eq.shape)
+
+
+def _clahe_kernel_v2(v_ref, out_ref, hist_ref, lut_ref, mxw_ref, *,
+                     h: int, w: int, grid: int, clip_limit: float):
+    """CLAHE v2: transposed (tiles, bins) histogram with ONE band matmul per
+    8-row chunk (the chunk's 8 one-hots sum first — counts are what's
+    needed), and ONE (nt, 256) @ (256, w) matmul per row in the apply phase
+    (P[t, x] = lut_t[v[x]] for every tile at once) blended with a sparse
+    4-corner weight mask. ~5x fewer matmul dispatches than the per-row
+    4-corner form (small Mosaic matmuls are latency-bound). Requires
+    grid == 8 so tile-band rows are 8-aligned dynamic slices."""
+    th = h // grid
+    tw = w // grid
+    tile_area = th * tw
+    nt = grid * grid
+
+    f32 = jnp.float32
+    bins_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(f32)
+    col_iota = lax.broadcasted_iota(jnp.int32, (256, w), 1)
+    tx_of_col = (col_iota // tw).astype(f32)[0:1, :]            # (1, w)
+    # SEL8[q, x] = 1 if column x belongs to tile column q
+    q_iota8 = lax.broadcasted_iota(jnp.int32, (grid, w), 0).astype(f32)
+    sel8 = (q_iota8 == jnp.broadcast_to(tx_of_col, (grid, w))
+            ).astype(jnp.bfloat16)
+
+    hist_ref[:] = jnp.zeros((nt, 256), f32)
+
+    def accum_chunk(c, _):
+        rows = v_ref[0, pl.ds(c * 8, 8), :]                     # (8, w)
+        ty = (c * 8) // th
+        sumoh = jnp.zeros((256, w), jnp.bfloat16)
+        for k in range(8):
+            sumoh = sumoh + (bins_iota == rows[k:k + 1, :]).astype(
+                jnp.bfloat16)
+        band = lax.dot_general(
+            sel8, sumoh, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                          # (grid, 256)
+        hist_ref[pl.ds(ty * grid, grid), :] = (
+            hist_ref[pl.ds(ty * grid, grid), :] + band)
+        return _
+
+    lax.fori_loop(0, h // 8, accum_chunk, None)
+
+    # Clip + even redistribution (OpenCV truncates the limit to int).
+    limit = max(float(int(clip_limit * tile_area / 256.0)), 1.0)
+    hist = hist_ref[:]
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / 256.0
+
+    # CDF along bins as an upper-triangular matmul; LUT in [0, 255].
+    r_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    c_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    up = (r_iota <= c_iota).astype(f32)                          # (b_in, b_out)
+    cdf = lax.dot_general(hist, up, (((1,), (0,)), ((), ())),
+                          preferred_element_type=f32)
+    scale = 255.0 / tile_area
+    lut_ref[:] = jnp.clip(jnp.round(cdf * scale), 0.0, 255.0)    # (nt, 256)
+
+    # Constant x-side blend mask: MXW[t, x] = wx weight of tile column
+    # (t % grid) at pixel column x (zero unless t%grid is x0 or x1).
+    xx = col_iota.astype(f32)[0:1, :] / tw - 0.5
+    x0 = jnp.clip(jnp.floor(xx), 0.0, grid - 1.0)
+    x1 = jnp.minimum(x0 + 1.0, grid - 1.0)
+    wx1 = jnp.clip(xx - jnp.floor(xx), 0.0, 1.0)
+    wx1 = jnp.where(xx < 0, 0.0, jnp.where(xx > grid - 1, 1.0, wx1))
+    t_iota = lax.broadcasted_iota(jnp.int32, (nt, w), 0)
+    txt = (t_iota % grid).astype(f32)                            # (nt, w)
+    tyt = (t_iota // grid).astype(f32)
+    mxw_ref[:] = ((txt == x0) * (1.0 - wx1) + (txt == x1) * wx1)
+
+    mxw = mxw_ref[:]
+    lut_bf = lut_ref[:].astype(jnp.bfloat16)  # integers <= 255: exact
+
+    def apply_chunk(c, _):
+        rows = v_ref[0, pl.ds(c * 8, 8), :]
+        out_rows = []
+        for k in range(8):
+            oh = (bins_iota == rows[k:k + 1, :]).astype(jnp.bfloat16)
+            p_all = lax.dot_general(
+                lut_bf, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                      # (nt, w)
+            yy = (c * 8 + k).astype(f32) / th - 0.5
+            y0 = jnp.clip(jnp.floor(yy), 0.0, grid - 1.0)
+            y1 = jnp.minimum(y0 + 1.0, grid - 1.0)
+            wy1 = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
+            wy1 = jnp.where(yy < 0, 0.0,
+                            jnp.where(yy > grid - 1, 1.0, wy1))
+            wrow = ((tyt == y0) * (1.0 - wy1) + (tyt == y1) * wy1) * mxw
+            out_rows.append(jnp.sum(wrow * p_all, axis=0, keepdims=True))
+        out_ref[0, pl.ds(c * 8, 8), :] = jnp.concatenate(out_rows, axis=0)
+        return _
+
+    lax.fori_loop(0, h // 8, apply_chunk, None)
+
+
 def _clahe_kernel(v_ref, out_ref, hist_ref, *, h: int, w: int, grid: int,
                   clip_limit: float):
     th = h // grid
@@ -327,8 +602,16 @@ def clahe_pallas(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8,
     for d in lead:
         b *= d
     v = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), 0, 255)
-    kern = functools.partial(_clahe_kernel, h=h, w=w, grid=grid,
-                             clip_limit=clip_limit)
+    if grid == 8:
+        kern = functools.partial(_clahe_kernel_v2, h=h, w=w, grid=grid,
+                                 clip_limit=clip_limit)
+        scratch = [pltpu.VMEM((grid * grid, 256), jnp.float32),
+                   pltpu.VMEM((grid * grid, 256), jnp.float32),
+                   pltpu.VMEM((grid * grid, w), jnp.float32)]
+    else:
+        kern = functools.partial(_clahe_kernel, h=h, w=w, grid=grid,
+                                 clip_limit=clip_limit)
+        scratch = [pltpu.VMEM((256, grid * grid), jnp.float32)]
     out = pl.pallas_call(
         kern,
         grid=(b,),
@@ -337,7 +620,7 @@ def clahe_pallas(x: jnp.ndarray, clip_limit: float = 2.5, grid: int = 8,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((256, grid * grid), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(v.reshape(b, h, w))
     return jnp.clip(out.reshape(x.shape) / 255.0, 0.0, 1.0)

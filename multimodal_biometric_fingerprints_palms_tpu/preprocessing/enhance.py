@@ -131,6 +131,12 @@ def binarize(img: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
 
     win, k = 25, 0.25
     if _auto_pallas(use_pallas):
+        h, w = img_eq.shape[-2:]
+        if h % 8 == 0 and h % 32 == 0 and w % 32 == 0:
+            # whole post-CLAHE stage as one VMEM kernel
+            from ..ops.pallas_kernels import binarize_fused_pallas
+            return binarize_fused_pallas(img_eq, win, k)
+    if _auto_pallas(use_pallas):
         from ..ops.pallas_kernels import sauvola_binarize_pallas
         lead = img_eq.shape[:-2]
         flat = img_eq.reshape((-1,) + img_eq.shape[-2:])
@@ -187,12 +193,18 @@ def smooth_fingerprint_skeleton(binary: jnp.ndarray, sigma: float = 1.4,
 
 
 def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
-                          rel_thresh: float = 0.1) -> jnp.ndarray:
+                          rel_thresh: float = 0.1,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
     """Reliability-gated skeletonization (fingerprint_preprocess.py:161-177):
     small-object/hole cleanup → mask by smoothed reliability → thin →
-    prune isolated tips."""
-    mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
+    prune isolated tips. On TPU the whole stage is one VMEM-resident fused
+    kernel (`pallas_cc.thin_fused_pallas`)."""
     rel_smooth = gaussian_blur(reliability, 2.0)
+    if _auto_pallas(use_pallas):
+        from ..ops.pallas_cc import thin_fused_pallas
+        return thin_fused_pallas(binary_smooth, rel_smooth,
+                                 rel_thresh=rel_thresh)
+    mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
     mask = jnp.logical_and(mask, rel_smooth > rel_thresh)
     skel = skeletonize(mask)
     return prune_isolated(skel)

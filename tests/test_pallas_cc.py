@@ -121,3 +121,41 @@ def test_grouped_hypothesis_kernel_matches_ungrouped(rng, ransac_iter):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(th1), np.asarray(th2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_binary_reconstruct_pallas_matches_xla(rng):
+    """Marker-reachability reconstruction == geodesic-dilation fixpoint."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        binary_reconstruct_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.morphology import (
+        binary_reconstruction_by_dilation,
+    )
+    mask = jnp.asarray(rng.random((2, 24, 128)) > 0.45)
+    marker = jnp.asarray((rng.random((2, 24, 128)) > 0.9)) & mask
+    ours = np.asarray(binary_reconstruct_pallas(marker, mask, interpret=True))
+    ref = np.asarray(binary_reconstruction_by_dilation(marker, mask))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_thin_fused_pallas_matches_xla(rng):
+    """Fused clean+gate+ZS+prune kernel == the XLA composition."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        thin_fused_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.components import clean_mask
+    from multimodal_biometric_fingerprints_palms_tpu.ops.skeleton import (
+        skeletonize, prune_isolated,
+    )
+    # blobby mask with some structure
+    base = rng.random((1, 32, 128))
+    mask = jnp.asarray((base + np.roll(base, 1, -1) + np.roll(base, 1, -2)) > 1.4)
+    rel = jnp.asarray(rng.random((1, 32, 128)).astype(np.float32))
+    ours = np.asarray(thin_fused_pallas(mask, rel, min_size=10, max_size=20,
+                                        interpret=True))
+    m = clean_mask(mask, 10, 20, connectivity=1)
+    m = jnp.logical_and(m, rel > 0.1)
+    ref = np.asarray(prune_isolated(skeletonize(m)))
+    np.testing.assert_array_equal(ours, ref)

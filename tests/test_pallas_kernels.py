@@ -99,3 +99,54 @@ def test_skeletonize_pallas_matches_xla(rng):
     a = np.asarray(skeletonize_pallas(x, interpret=True))
     b = np.asarray(skeletonize(x))
     np.testing.assert_array_equal(a, b)
+
+
+def test_binarize_fused_matches_xla(rng):
+    """Fused post-CLAHE binarize kernel vs the XLA composition."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        binarize_fused_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.preprocessing import enhance
+
+    # ridge-like image on the u8 grid
+    yy, xx = np.mgrid[0:64, 0:128].astype(np.float32)
+    img = 0.5 + 0.4 * np.cos(np.hypot(yy - 30, xx - 60) / 3.0)
+    img += rng.normal(0, 0.05, img.shape)
+    img = np.round(np.clip(img, 0, 1) * 255) / 255
+    x = jnp.asarray(img.astype(np.float32))[None]
+
+    ours = np.asarray(binarize_fused_pallas(x, interpret=True))
+
+    # Composition reference: same tree-box Sauvola kernel (so borderline
+    # x < sauv comparisons see identical FP rounding), XLA for the rest.
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        sauvola_binarize_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.histogram import (
+        otsu_threshold_patchwise,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.components import clean_mask
+    from multimodal_biometric_fingerprints_palms_tpu.ops.morphology import (
+        binary_opening, binary_erode, binary_reconstruction_by_dilation,
+    )
+    win, k, patch = 25, 0.25, 32
+    binary = sauvola_binarize_pallas(x, win, k, interpret=True) > 0.5
+    thr = otsu_threshold_patchwise(x, patch)
+    h, w = x.shape[-2:]
+    blocks = x.reshape((1, h // patch, patch, w // patch, patch))
+    p_std = jnp.std(blocks, axis=(-3, -1))
+    p_std = jnp.repeat(jnp.repeat(p_std, patch, axis=-1), patch, axis=-2)
+    binary = jnp.logical_or(binary,
+                            jnp.logical_and(x < thr, p_std >= 3.0 / 255.0))
+    cleaned = clean_mask(binary, 80, 150, connectivity=1)
+    opened = binary_opening(cleaned, 3, shape="ellipse")
+    marker = binary_erode(opened, 3, shape="ellipse")
+    ref = np.asarray(binary_reconstruction_by_dilation(marker, opened))
+
+    # The in-kernel Otsu builds its CDF as a triangular matmul; FP summation
+    # order vs XLA's cumsum can flip argmax ties by a bin, and a flipped
+    # borderline pixel can cascade through a component keep decision —
+    # intra-implementation noise well below the stage's own quantization.
+    agree = (ours == ref).mean()
+    assert agree > 0.99, agree
