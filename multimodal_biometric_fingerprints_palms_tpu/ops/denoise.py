@@ -21,21 +21,23 @@ from jax import lax
 from .filters import box_filter
 
 
-def _box_shift_add(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable box MEAN via fused static shift-adds (symmetric border) —
-    avoids per-call lax.conv overhead inside the NLM offset loop."""
-    r = size // 2
-    pad_spec = [(0, 0)] * (x.ndim - 2)
-    p = jnp.pad(x, pad_spec + [(r, size - 1 - r), (0, 0)], mode="symmetric")
+def _box_sum_matmul(x: jnp.ndarray, size: int, dt) -> jnp.ndarray:
+    """Separable box SUM (symmetric border) as banded matmuls with f32
+    accumulation — the same summation semantics as the Pallas NLM kernel's
+    in-VMEM MXU box (pallas_kernels._box_band), so the two paths agree to
+    f32 rounding. In bf16 mode the intermediate rounds to bf16 between the
+    two axes, exactly like the kernel."""
+    from .filters import _band_matrix
+    from jax import lax
     h, w = x.shape[-2:]
-    acc = p[..., 0:h, :]
-    for dy in range(1, size):
-        acc = acc + p[..., dy:dy + h, :]
-    p = jnp.pad(acc, pad_spec + [(0, 0), (r, size - 1 - r)], mode="symmetric")
-    acc = p[..., :, 0:w]
-    for dx in range(1, size):
-        acc = acc + p[..., :, dx:dx + w]
-    return acc / float(size * size)
+    taps = (1.0,) * size
+    bh = jnp.asarray(_band_matrix(h, taps, "reflect"), dt)
+    bw = jnp.asarray(_band_matrix(w, taps, "reflect"), dt)
+    prec = None if dt == jnp.bfloat16 else lax.Precision.HIGHEST
+    tmp = jnp.einsum("ij,...jw->...iw", bh, x.astype(dt),
+                     preferred_element_type=jnp.float32, precision=prec)
+    return jnp.einsum("...ij,kj->...ik", tmp.astype(dt), bw,
+                      preferred_element_type=jnp.float32, precision=prec)
 
 
 def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
@@ -64,7 +66,7 @@ def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
 
     lead_idx = (0,) * (x.ndim - 2)
     dys = jnp.arange(search_window, dtype=jnp.int32)
-    inv = jnp.asarray(-1.0 / (hn * hn), dt)
+    inv = jnp.float32(-1.0 / (hn * hn) / float(template_window ** 2))
 
     def step(carry, dy):
         acc, wacc = carry
@@ -73,8 +75,8 @@ def nlm_denoise(x: jnp.ndarray, h: float = 10.0, template_window: int = 7,
         for dx in range(search_window):
             shifted = strip[..., :, dx:dx + ww]
             diff = xc - shifted
-            d2 = _box_shift_add(diff * diff, template_window)
-            wgt = jnp.exp(d2 * inv)
+            d2 = _box_sum_matmul(diff * diff, template_window, dt)
+            wgt = jnp.exp(d2 * inv).astype(dt)
             acc = acc + (wgt * shifted).astype(jnp.float32)
             wacc = wacc + wgt.astype(jnp.float32)
         return (acc, wacc), None

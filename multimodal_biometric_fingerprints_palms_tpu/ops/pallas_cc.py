@@ -232,61 +232,90 @@ def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
     return jnp.where(fg, v.astype(jnp.float32), _INF)
 
 
-def _pixel_size_map(label_f, fg, h: int, w: int, count_ref, lab_ref,
-                    sizes_ref):
-    """count_ref (nhi, 256), lab_ref / sizes_ref (h, w) f32 scratch.
-    Phase 1 accumulates the two-level size histogram; phase 2 writes the
-    per-pixel component-size map into sizes_ref. Row chunks of 8 keep the
-    dynamic sublane slices 8-aligned (pl.ds works on refs, not values)."""
-    hw = h * w
+def _hi_groups(h: int, w: int, nhi: int, group_rows: int = 32):
+    """Static (chunk_lo, chunk_hi, nhi_g) row groups for the triangular
+    histogram optimization: labels are component-MIN linear indices, so a
+    pixel at image row r has label <= r*w + w - 1 and its hi index is
+    bounded by the row — early row groups only need a prefix of the count
+    table's rows (~45% of the full-table MACs over all groups)."""
+    groups = []
+    for r0 in range(0, h, group_rows):
+        r1 = min(r0 + group_rows, h)
+        nhi_g = min(-(-((r1 - 1) * w + w) // 256), nhi)
+        nhi_g = min(-(-nhi_g // 8) * 8, nhi)
+        groups.append((r0 // 8, r1 // 8, nhi_g))
+    return groups
+
+
+def _label_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
+    """Phase 1: per-label pixel counts. count_ref (nhi, 256) f32; lab_ref
+    (h, w) f32 scratch. Background maps to slot -256 (hi = -1), whose
+    one-hot is identically zero — no bg slot, no weight mask."""
     nhi = count_ref.shape[0]
-    lab_ref[:] = jnp.where(fg, label_f, float(hw))     # bg -> slot hw
-
-    # Mosaic iota must be integer-typed; cast to f32 for the compares.
-    hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, w), 0).astype(jnp.float32)
+    lab_ref[:] = jnp.where(fg, label_f, -256.0)
     lo_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(jnp.float32)
-
     count_ref[:] = jnp.zeros((nhi, 256), jnp.float32)
 
-    def row_onehots(row):                              # row: (1, w) f32
-        hi = jnp.floor(row / 256.0)
-        lo = row - hi * 256.0
-        oh_hi = (hi_iota == hi).astype(jnp.bfloat16)   # (nhi, w)
-        oh_lo = (lo_iota == lo).astype(jnp.bfloat16)   # (256, w)
-        return oh_hi, oh_lo
+    for c_lo, c_hi, nhi_g in _hi_groups(h, w, nhi):
+        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi_g, w), 0).astype(
+            jnp.float32)
 
-    def accum_chunk(c, _):
-        chunk = lab_ref[pl.ds(c * 8, 8), :]
-        acc = count_ref[:]
-        for k in range(8):
-            oh_hi, oh_lo = row_onehots(chunk[k:k + 1, :])
-            acc = acc + jax.lax.dot_general(
-                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        count_ref[:] = acc
-        return _
+        def accum_chunk(c, _):
+            chunk = lab_ref[pl.ds(c * 8, 8), :]
+            acc = count_ref[0:nhi_g, :]
+            for k in range(8):
+                row = chunk[k:k + 1, :]
+                hi = jnp.floor(row / 256.0)
+                lo = row - hi * 256.0
+                oh_hi = (hi_iota == hi).astype(jnp.bfloat16)
+                oh_lo = (lo_iota == lo).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            count_ref[0:nhi_g, :] = acc
+            return _
 
-    lax.fori_loop(0, h // 8, accum_chunk, None)
+        lax.fori_loop(c_lo, c_hi, accum_chunk, None)
 
-    # Phase 2: per-pixel lookup size[p] = count[hi_p, lo_p] via the same
-    # one-hots: tmp = count @ oh_lo; size_row = colsum(oh_hi * tmp).
-    count = count_ref[:]
 
-    def lookup_chunk(c, _):
-        chunk = lab_ref[pl.ds(c * 8, 8), :]
-        rows = []
-        for k in range(8):
-            oh_hi, oh_lo = row_onehots(chunk[k:k + 1, :])
-            tmp = jax.lax.dot_general(
-                count, oh_lo.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (nhi, w)
-            rows.append(jnp.sum(oh_hi.astype(jnp.float32) * tmp, axis=0,
-                                keepdims=True))
-        sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(rows, axis=0)
-        return _
+def _size_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
+    """Phase 2: per-pixel lookup size[p] = count[hi_p, lo_p] via the same
+    one-hots (tmp = count @ oh_lo; size_row = colsum(oh_hi * tmp)), with
+    the same triangular row grouping. Background pixels get 0."""
+    nhi = count_ref.shape[0]
+    lo_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(jnp.float32)
 
-    lax.fori_loop(0, h // 8, lookup_chunk, None)
+    for c_lo, c_hi, nhi_g in _hi_groups(h, w, nhi):
+        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi_g, w), 0).astype(
+            jnp.float32)
+        count_g = count_ref[0:nhi_g, :]
+
+        def lookup_chunk(c, _):
+            chunk = lab_ref[pl.ds(c * 8, 8), :]
+            rows = []
+            for k in range(8):
+                row = chunk[k:k + 1, :]
+                hi = jnp.floor(row / 256.0)
+                lo = row - hi * 256.0
+                oh_hi = (hi_iota == hi).astype(jnp.float32)
+                oh_lo = (lo_iota == lo).astype(jnp.float32)
+                tmp = jax.lax.dot_general(
+                    count_g, oh_lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (nhi_g, w)
+                rows.append(jnp.sum(oh_hi * tmp, axis=0, keepdims=True))
+            sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(rows, axis=0)
+            return _
+
+        lax.fori_loop(c_lo, c_hi, lookup_chunk, None)
     return sizes_ref[:]
+
+
+def _pixel_size_map(label_f, fg, h: int, w: int, count_ref, lab_ref,
+                    sizes_ref):
+    """Per-pixel component-size map: `_label_hist` + `_size_lookup`.
+    Sizes are valid at foreground pixels (callers mask by fg)."""
+    _label_hist(label_f, fg, h, w, count_ref, lab_ref)
+    return _size_lookup(h, w, count_ref, lab_ref, sizes_ref)
 
 
 def _cc_filter_kernel(mask_ref, out_ref, count_ref, lab_ref, sizes_ref, *,
@@ -318,18 +347,16 @@ def _cc_filter_kernel(mask_ref, out_ref, count_ref, lab_ref, sizes_ref, *,
         out = jnp.logical_or(fg, fill)
     elif mode == "largest":
         label = _label_relax(fg, h, w, connectivity, max_iters)
-        _ = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        # phase 1 only: the winner is found on the count table, and
+        # membership is a label compare — no per-pixel size lookup needed
+        _label_hist(label, fg, h, w, count_ref, lab_ref)
         count = count_ref[:]
         nhi = count.shape[0]
-        # exclude the background slot (hi = hw // 256, lo = hw % 256)
-        hw = h * w
         hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 0)
         lo_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 1)
-        is_bg = jnp.logical_and(hi_iota == hw // 256, lo_iota == hw % 256)
-        cnt = jnp.where(is_bg, -1.0, count)
-        m = jnp.max(cnt)
+        m = jnp.max(count)
         idx = (hi_iota * 256 + lo_iota).astype(jnp.float32)
-        best = jnp.min(jnp.where(cnt == m, idx, float(2 ** 30)))
+        best = jnp.min(jnp.where(count == m, idx, float(2 ** 30)))
         out = jnp.logical_and(fg, label == best)
     else:  # pragma: no cover
         raise ValueError(mode)

@@ -123,6 +123,19 @@ def sauvola_binarize_pallas(img: jnp.ndarray, win: int = 25, k: float = 0.25,
     )(img.astype(jnp.float32))
 
 
+def _box_band(n: int, t: int):
+    """(n, n) banded box-sum matrix with symmetric border folds, built from
+    iotas in-kernel: (M @ x)[i] = sum_{|j-i|<=t} x[sym(j)]."""
+    r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    band = (jnp.abs(r - c) <= t).astype(jnp.float32)
+    # symmetric reflection folds: out-of-range taps j<0 map to -1-j,
+    # j>=n map to 2n-1-j
+    lo = (r + c <= t - 1).astype(jnp.float32)
+    hi = (r + c >= 2 * n - 1 - t).astype(jnp.float32)
+    return (band + lo + hi).astype(jnp.bfloat16)
+
+
 def _nlm_kernel_blocked(img_ref, strip_ref, out_ref, acc_ref, wacc_ref, *,
                         h_param: float, template: int, search: int,
                         bf16: bool):
@@ -138,7 +151,7 @@ def _nlm_kernel_blocked(img_ref, strip_ref, out_ref, acc_ref, wacc_ref, *,
     hh, ww = x.shape
     hn2 = (h_param / 255.0) ** 2
     dt = jnp.bfloat16 if bf16 else jnp.float32
-    inv = jnp.asarray(-1.0 / hn2 / float(template * template), dt)
+    inv = jnp.float32(-1.0 / hn2 / float(template * template))
 
     @pl.when(dy == 0)
     def _():
@@ -148,16 +161,32 @@ def _nlm_kernel_blocked(img_ref, strip_ref, out_ref, acc_ref, wacc_ref, *,
     xc = x.astype(dt)
     strip = strip_ref[0, 0]                    # (H, W+2r), already dtype dt
 
-    # Static dx slices beat dynamic rolls by ~1.5x (86 vs 131 ms/batch128);
-    # the log-tree box sums keep the unrolled footprint inside the raised
-    # scoped-VMEM limit (the 12-add box form needed 52 MB and OOMed).
+    # Template box sums as banded MXU matmuls (B_h @ diff^2 @ B_w): the
+    # 8-add log-tree per offset was ~40% of the kernel's VPU issue; the MXU
+    # is otherwise idle here and overlaps the elementwise work. f32
+    # accumulation (matching ops.denoise.nlm_denoise's f32 box).
+    t_r = template // 2
+    mm_dt = dt
+    prec = (None if bf16 else lax.Precision.HIGHEST)
+    b_h = _box_band(hh, t_r).astype(mm_dt)
+    b_w = _box_band(ww, t_r).astype(mm_dt)
+
+    # Static dx slices beat dynamic rolls by ~1.5x (86 vs 131 ms/batch128).
     acc = acc_ref[:]
     wacc = wacc_ref[:]
+    inv_f = jnp.float32(inv)
     for dx in range(search):
         shifted = strip[:, dx:dx + ww]
         diff = xc - shifted
-        d2 = _box_sum_same(diff * diff, template)
-        wgt = jnp.exp(d2 * inv)
+        dsq = (diff * diff).astype(mm_dt)
+        tmp = lax.dot_general(b_h, dsq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        d2 = lax.dot_general(tmp.astype(mm_dt), b_w,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+        wgt = jnp.exp(d2 * inv_f).astype(dt)
         acc = acc + (wgt * shifted).astype(jnp.float32)
         wacc = wacc + wgt.astype(jnp.float32)
     acc_ref[:] = acc
