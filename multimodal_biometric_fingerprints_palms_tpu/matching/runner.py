@@ -212,15 +212,23 @@ def main(config_path: str | None = None, demo: bool = False,
     if demo:
         ransac_iter = cfg.get("evaluation.demo.ransac_iterations", 50)
 
-    def make_params(min_inliers):
+    def make_params(min_inliers, phase):
+        """Phase-specific gates: the reference's full protocol passes
+        dist 30/orient 30 to FRR and dist 15/orient 10 to FAR
+        (match_features.py:126-133,146-151), not the pair-matcher
+        defaults; stop ratio 0.15 (FRR.py:74, FAR.py:41)."""
+        dist = float(cfg.get(f"evaluation.{phase}.max_distance",
+                             cfg.get("matching.max_distance", 10.0)))
+        orient = float(cfg.get(
+            f"evaluation.{phase}.max_orientation_diff_deg",
+            cfg.get("matching.max_orientation_diff_deg", 12.0)))
         return MatchParams(
-            dist_thresh=float(cfg.get("matching.max_distance", 10.0)),
-            orient_thresh=math.radians(
-                cfg.get("matching.max_orientation_diff_deg", 12.0)),
+            dist_thresh=dist,
+            orient_thresh=math.radians(orient),
             use_type=bool(cfg.get("matching.use_type", True)),
             ransac_iter=int(ransac_iter),
             min_inliers=int(min_inliers),
-            stop_inlier_ratio=float(cfg.get("ransac.stop_inlier_ratio", 0.25)),
+            stop_inlier_ratio=float(cfg.get("ransac.stop_inlier_ratio", 0.15)),
             cross_check=bool(cfg.get("matching.cross_check", True)),
             seed=int(cfg.get("ransac.seed", 42)),
         )
@@ -237,7 +245,7 @@ def main(config_path: str | None = None, demo: bool = False,
         ds, max_pairs_per_user=(
             cfg.get("evaluation.demo.genuine_pairs_per_user", 3) if demo else None))
     t0 = time.time()
-    g_res = match_pair_indices(ds, g_pairs, make_params(mi_frr),
+    g_res = match_pair_indices(ds, g_pairs, make_params(mi_frr, "frr"),
                                cascade=cascade, screen_iters=screen_iters)
     genuine_scores = g_res["final_score"]
     t_frr = time.time() - t0
@@ -255,7 +263,7 @@ def main(config_path: str | None = None, demo: bool = False,
     i_pairs = impostor_pairs(ds, peers_per_user=peers,
                              seed=cfg.get("ransac.seed", 42))
     t0 = time.time()
-    i_res = match_pair_indices(ds, i_pairs, make_params(mi_far),
+    i_res = match_pair_indices(ds, i_pairs, make_params(mi_far, "far"),
                                cascade=cascade, screen_iters=screen_iters)
     impostor_scores = i_res["final_score"]
     t_far = time.time() - t0

@@ -55,6 +55,12 @@ def all_pairs_scores(gallery: MinutiaeSet, mesh: Mesh,
                      col_chunk: int = 64) -> jnp.ndarray:
     """(N, N) final-score matrix of every template against every other.
 
+    DEMO/REFERENCE PATH — kept as the all_gather exposition of the
+    north-star layout and as the equality oracle in tests. Production
+    all-pairs scoring is `shard_pairs_scores` / `all_pairs_unique` (unique
+    pairs, even balance, Pallas matcher, cascade); `dryrun_multichip`
+    validates the production path only.
+
     ``gallery`` is (N, K) with N divisible by the mesh size; the result is
     sharded over rows. Diagonal (self-match) included; callers mask it.
     """
@@ -291,6 +297,66 @@ def identify(probe: MinutiaeSet, gallery: MinutiaeSet, mesh: Mesh,
 
     fn = _identify_jit(mesh, axis_name, params, chunk, n_local, use_pallas)
     return fn(probe, gallery)
+
+
+def identify_batch(probes: MinutiaeSet, gallery: MinutiaeSet, mesh: Mesh,
+                   params: MatchParams = MatchParams(),
+                   axis_name: str = "gallery",
+                   chunk: int = 1024,
+                   use_pallas: bool | None = None) -> jnp.ndarray:
+    """Batched 1:N identification: (P, K) probes against a sharded (N, K)
+    gallery -> (P, N) scores. The realistic identification workload: one
+    dispatch amortizes over the probe batch instead of paying the
+    per-probe launch of `identify` (~40 ms/probe single-probe on the TPU
+    relay). Per device the work is P x N_local pair matches, walked in
+    (chunk)-pair column chunks per probe row via lax.map."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = gallery.valid.shape[0]
+    n_dev = mesh.devices.size
+    n_local = n // n_dev
+    chunk = min(chunk, n_local)
+    assert n_local % chunk == 0, (n_local, chunk)
+    p_num = probes.valid.shape[0]
+    fn = _identify_batch_jit(mesh, axis_name, params, chunk, n_local,
+                             p_num, use_pallas)
+    return fn(probes, gallery)
+
+
+@functools.lru_cache(maxsize=32)
+def _identify_batch_jit(mesh: Mesh, axis_name: str, params: MatchParams,
+                        chunk: int, n_local: int, p_num: int,
+                        use_pallas: bool):
+    matcher = _batch_matcher(use_pallas)
+    spec = P(axis_name)
+
+    def device_fn(probes: MinutiaeSet, local: MinutiaeSet) -> jnp.ndarray:
+        chunks = jax.tree.map(
+            lambda x: x.reshape((n_local // chunk, chunk) + x.shape[1:]),
+            local)
+
+        def one_chunk(c):
+            # flatten (P probes x chunk gallery) into one (P*chunk,) pair
+            # batch — a single matcher dispatch, no vmap over pallas_call
+            a = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[:, None], (p_num, chunk) + x.shape[1:]
+                ).reshape((p_num * chunk,) + x.shape[1:]), probes)
+            b = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (p_num,) + x.shape
+                ).reshape((p_num * chunk,) + x.shape[1:]), c)
+            return matcher(a, b, params).final_score.reshape(p_num, chunk)
+
+        out = lax.map(one_chunk, chunks)                # (n_chunks, P, chunk)
+        return jnp.moveaxis(out, 0, 1).reshape(p_num, n_local)
+
+    return jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=P(None, axis_name),
+        check_rep=False,
+    ))
 
 
 @functools.lru_cache(maxsize=32)

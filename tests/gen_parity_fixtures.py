@@ -125,5 +125,37 @@ def main():
     print(f"wrote {N_USERS * N_IMPRESSIONS} fixtures to {OUT}")
 
 
+def main_full():
+    """The FULL-PROTOCOL fixture set (tests/fixtures/parity_full/):
+    32 PolyU-shaped users x 4 impressions (half sharing a jittered global
+    pattern — hard impostors) plus 8 NIST-style single-session users
+    (`F00xx_1` names, README.md:80-91) that contribute only impostor
+    templates. Drives the reference's own FRR.py/FAR.py end-to-end
+    (tests/gen_reference_golden.py) and our matching.runner full protocol
+    (tests/test_full_protocol_parity.py)."""
+    rng = np.random.default_rng(20260817)
+    out = Path(__file__).parent / "fixtures" / "parity_full"
+    out.mkdir(parents=True, exist_ok=True)
+    shared = _poisson_disk(rng, 20)
+    n_users, n_impr = 32, 4
+    for u in range(n_users):
+        tpl = make_template(rng, shared_xy=shared if u < n_users // 2 else None)
+        for s in range(n_impr):
+            recs = make_impression(rng, tpl)
+            with open(out / f"u{u:02d}_{s + 1}_minutiae.json", "w") as f:
+                json.dump(recs, f, indent=1)
+    # NIST-style stress users: single session, no genuine pairs
+    for u in range(8):
+        tpl = make_template(rng, shared_xy=shared if u % 2 == 0 else None)
+        recs = make_impression(rng, tpl)
+        with open(out / f"F{u:04d}_1_minutiae.json", "w") as f:
+            json.dump(recs, f, indent=1)
+    print(f"wrote {n_users * n_impr + 8} fixtures to {out}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--full" in _sys.argv:
+        main_full()
+    else:
+        main()

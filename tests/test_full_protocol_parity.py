@@ -1,0 +1,109 @@
+"""FULL-PROTOCOL parity vs the reference's own evaluation stack.
+
+The reference's end-to-end protocol (match_features.py:102-151) was run ONCE
+over the committed 136-template fixture set (32 PolyU-shaped users x 4
+impressions + 8 NIST-style single-session users) by
+tests/gen_reference_golden.py, driving /root/reference's compute_frr
+(FRR.py:67) and compute_far (FAR.py:35) with the full-mode settings:
+max_per_user 2, RANSAC 300, FRR gates dist 30/orient 30/min_inliers 6,
+FAR gates dist 15/orient 10/min_inliers 12, stop ratio 0.15, 50 threshold
+points. The resulting curves are committed as
+tests/fixtures/parity_full_golden.json.
+
+This test runs OUR orchestrator (matching.runner.main — the production
+entry point, not the pair matcher) with the same protocol on the same
+fixtures and asserts the 50-point FRR/FAR curves match pointwise and the
+EERs agree, with tolerances set by the genuine-pair sample size (32 pairs →
+1/32 curve granularity) and the different RANSAC streams. Also asserts the
+cascade (screen-then-full) changes nothing on this set.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+HERE = Path(__file__).parent
+FIXTURES = HERE / "fixtures" / "parity_full"
+GOLDEN = HERE / "fixtures" / "parity_full_golden.json"
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not GOLDEN.exists():  # pragma: no cover
+        pytest.skip("golden artifact not generated")
+    return json.loads(GOLDEN.read_text())
+
+
+def _run_ours(tmp_path, cascade: bool):
+    from multimodal_biometric_fingerprints_palms_tpu.matching.runner import main
+
+    base_cfg = yaml.safe_load(
+        (Path(__file__).parents[1] / "configs" / "config_matching.yml")
+        .read_text())
+    base_cfg["matching"]["cascade"] = cascade
+    cfg_path = tmp_path / f"cfg_{cascade}.yml"
+    cfg_path.write_text(yaml.safe_dump(base_cfg))
+    return main(config_path=str(cfg_path), minutiae_base=str(FIXTURES),
+                logs_dir=str(tmp_path / "logs"))
+
+
+@pytest.fixture(scope="module")
+def ours(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("full_protocol")
+    return {
+        "cascade": _run_ours(tmp, cascade=True),
+        "plain": _run_ours(tmp, cascade=False),
+    }
+
+
+def test_frr_curve_parity(golden, ours):
+    """50-point FRR curves agree pointwise (32 genuine pairs -> one pair is
+    1/32 = 0.031 of the curve; allow 4 pairs of drift)."""
+    ref = np.asarray(golden["frr"])
+    our = np.asarray(ours["plain"]["frr"])
+    assert our.shape == ref.shape
+    assert np.max(np.abs(our - ref)) <= 4.5 / 32.0, (
+        np.max(np.abs(our - ref)))
+
+
+def test_far_curve_parity(golden, ours):
+    """50-point FAR curves agree pointwise. The reference scores each user
+    pair in both orders (6240 scores) while we score unordered pairs once
+    (3120); the distributions must still agree."""
+    ref = np.asarray(golden["far"])
+    our = np.asarray(ours["plain"]["far"])
+    assert our.shape == ref.shape
+    assert np.max(np.abs(our - ref)) <= 0.05, np.max(np.abs(our - ref))
+
+
+def test_eer_parity(golden, ours):
+    """EER within 3 points of the reference protocol's (VERDICT round-2
+    item 2 tolerance)."""
+    assert abs(ours["plain"]["eer"] - golden["eer"]) <= 0.03, (
+        ours["plain"]["eer"], golden["eer"])
+
+
+def test_genuine_impostor_mass_parity(golden, ours):
+    rg = np.asarray(golden["genuine_scores"])
+    ri = np.asarray(golden["impostor_scores"])
+    og = np.asarray(ours["plain"]["genuine_scores"])
+    oi = np.asarray(ours["plain"]["impostor_scores"])
+    assert abs(og.mean() - rg.mean()) <= 0.06, (og.mean(), rg.mean())
+    assert abs(oi.mean() - ri.mean()) <= 0.02, (oi.mean(), ri.mean())
+
+
+def test_cascade_matches_full_protocol(ours):
+    """The production cascade must not change the full protocol's curves."""
+    for key in ("frr", "far"):
+        np.testing.assert_allclose(
+            np.asarray(ours["cascade"][key]),
+            np.asarray(ours["plain"][key]), atol=1e-12,
+            err_msg=f"cascade changed the {key} curve")
+    assert abs(ours["cascade"]["eer"] - ours["plain"]["eer"]) <= 1e-12
