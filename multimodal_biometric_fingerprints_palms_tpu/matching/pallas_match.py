@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..features.minutiae import MinutiaeSet
 from .ransac import (MatchParams, compute_descriptor_weights, _angle_diff,
-                     _apply_rigid, sample_hypotheses, hypothesis_uniforms)
+                     _apply_rigid, sample_hypotheses, hypothesis_uniforms,
+                     _NN_Q, _NN_SAT)
 
 _BIG = 1e9
 
@@ -87,24 +88,23 @@ def _match_kernel(ax_ref, ay_ref, aori_ref, atype_ref, wa_ref,
         dy = tay[:, None] - by[None, :]
         d2 = dx * dx + dy * dy
         d2 = jnp.where(valid_col, d2, _BIG)
-        d2min = jnp.min(d2, axis=1, keepdims=True)
 
-        # first-argmin indicator without gathers: among the row minima,
-        # keep the smallest column index (one where+min reduction instead
-        # of a log-step prefix scan)
-        eq = d2 == d2min
-        first_col = jnp.min(jnp.where(eq, col_idx, k), axis=1, keepdims=True)
-        first = (eq & (col_idx == first_col)).astype(jnp.float32)
+        # quantized-unique NN selection (ransac._nn_encode semantics)
+        d2q = jnp.minimum(jnp.round(d2 * _NN_Q), _NN_SAT)
+        enc = d2q * float(k) + col_idx.astype(jnp.float32)
+        encmin = jnp.min(enc, axis=1, keepdims=True)
+        first = (enc == encmin).astype(jnp.float32)
+        d2dec = d2q / _NN_Q
 
         dang = aori[:, None] + th - bori[None, :]
         dang = jnp.abs(jnp.mod(dang + math.pi, 2.0 * math.pi) - math.pi)
         inlier = (first
-                  * (d2 <= dist_thresh * dist_thresh).astype(jnp.float32)
+                  * (d2dec <= dist_thresh * dist_thresh).astype(jnp.float32)
                   * type_pair_ok
                   * (dang <= orient_thresh).astype(jnp.float32)
                   * valid_pair)
 
-        sc = (jnp.exp(-d2 / sigma_d2) * jnp.exp(-(dang * dang) / sigma_o2)
+        sc = (jnp.exp(-d2dec / sigma_d2) * jnp.exp(-(dang * dang) / sigma_o2)
               * wab * inlier)
         n = jnp.sum(inlier)
         raw = jnp.sum(sc) / (possible + 1e-6)
@@ -161,21 +161,19 @@ def _grouped_kernel(axT_ref, ayT_ref, aoriT_ref, atypeT_ref, waT_ref,
     dy = tayE - byE_ref[0]
     d2 = dx * dx + dy * dy
 
-    # Group-min over j: circular butterfly (shift is always a multiple of G,
-    # so each lane only ever meets lanes of its own hypothesis).
-    log2k = k.bit_length() - 1
-    d2min = d2
-    for t in range(log2k):
-        d2min = jnp.minimum(d2min, pltpu.roll(d2min, shift=g << t, axis=1))
-
-    # First-argmin over j without gathers.
+    # Quantized-unique NN encoding (ransac._nn_encode semantics): the j term
+    # makes the group min unique, so ONE butterfly replaces the former
+    # d2min + first-argmin pair (the tie-break butterfly was ~40% of kernel
+    # time) and the selection is a single equality.
     col = lax.broadcasted_iota(jnp.int32, (k, kg), 1)
     j_idx = (col // g).astype(jnp.float32)
-    eq = d2 == d2min
-    firstj = jnp.where(eq, j_idx, float(k))
+    d2q = jnp.minimum(jnp.round(d2 * _NN_Q), _NN_SAT)
+    enc = d2q * float(k) + j_idx
+    log2k = k.bit_length() - 1
+    encmin = enc
     for t in range(log2k):
-        firstj = jnp.minimum(firstj, pltpu.roll(firstj, shift=g << t, axis=1))
-    first = (eq & (j_idx == firstj)).astype(jnp.float32)
+        encmin = jnp.minimum(encmin, pltpu.roll(encmin, shift=g << t, axis=1))
+    first = (enc == encmin).astype(jnp.float32)
 
     # Nearest-neighbor attribute extraction: (K, K*G) @ (K*G, G) one-hot
     # contractions on the MXU. sel[j*G+g', g] = (g' == g).
@@ -184,7 +182,8 @@ def _grouped_kernel(axT_ref, ayT_ref, aoriT_ref, atypeT_ref, waT_ref,
                       preferred_element_type=jnp.float32)      # (K, G)
     wb_at = jnp.dot(first * wbE_ref[0], sel,
                     preferred_element_type=jnp.float32)
-    d2_at = d2min[:, 0:g]                      # j=0 slice holds the group min
+    # arithmetic decode of the selected (quantized) squared distance
+    d2_at = jnp.floor(encmin[:, 0:g] / float(k)) / _NN_Q
 
     # All gate/score math on (K, G) tiles.
     dang = aoriT_ref[0] + th[None, :] - bori_at

@@ -91,15 +91,42 @@ def _sqdist(pa: jnp.ndarray, pb: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(aa - 2.0 * ab + bb[None, :], 0.0)
 
 
-def _nn_onehot(d2: jnp.ndarray) -> jnp.ndarray:
-    """(K, K) one-hot of each row's first argmin — the gather-free form of
-    `jnp.argmin` (first occurrence wins, matching argmin semantics)."""
+# Quantized nearest-neighbor tie-break, shared by the XLA and Pallas
+# matchers: encode = round(d2 * NN_Q) * K + j. The j term makes the encoded
+# min UNIQUE, so the selection indicator is a single equality against the
+# row min — no first-argmin scan (in the grouped Pallas kernel that scan
+# was a second log2(K) roll butterfly, ~40% of kernel time). Exact in f32:
+# (2^18 - 1) * 64 + 63 < 2^24. Distances quantize to a 1/NN_Q px^2 grid
+# (score perturbation ~1e-5); saturated entries (d2 >= SAT/NN_Q = 1024 px^2)
+# are beyond every gate, so their arbitrary tie order is unobservable.
+_NN_Q = 256.0
+_NN_SAT = float(2 ** 18 - 1)
+
+
+def _nn_encode(d2: jnp.ndarray) -> jnp.ndarray:
+    """(…, K) -> (…, K) unique-min encoding round(d2*Q)*K + j."""
     k = d2.shape[-1]
-    d2min = jnp.min(d2, axis=-1, keepdims=True)
-    eq = d2 == d2min
+    d2q = jnp.minimum(jnp.round(d2 * _NN_Q), _NN_SAT)
     col = lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
-    firstcol = jnp.min(jnp.where(eq, col, k), axis=-1, keepdims=True)
-    return (eq & (col == firstcol)).astype(jnp.float32)
+    return d2q * float(k) + col.astype(jnp.float32)
+
+
+def _nn_onehot(d2: jnp.ndarray) -> jnp.ndarray:
+    """(K, K) one-hot of each row's quantized-first argmin (see _nn_encode;
+    the Pallas kernels produce the identical selection)."""
+    enc = _nn_encode(d2)
+    return (enc == jnp.min(enc, axis=-1, keepdims=True)).astype(jnp.float32)
+
+
+def _nn_select(d2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(F, d2_at): one-hot NN indicator and the selected (quantized)
+    squared distance, decoded arithmetically from the encoded min."""
+    k = d2.shape[-1]
+    enc = _nn_encode(d2)
+    encmin = jnp.min(enc, axis=-1, keepdims=True)
+    f = (enc == encmin).astype(jnp.float32)
+    d2_at = jnp.floor(encmin[..., 0] / float(k)) / _NN_Q
+    return f, d2_at
 
 
 def _match_with_transform(a: MinutiaeSet, b: MinutiaeSet, wa, wb, theta, t,
@@ -111,8 +138,8 @@ def _match_with_transform(a: MinutiaeSet, b: MinutiaeSet, wa, wb, theta, t,
     ta = _apply_rigid(a.xy, theta, t)                       # (K, 2)
     d2 = _sqdist(ta, b.xy)
     d2 = jnp.where(b.valid[None, :], d2, _BIG)              # mask invalid B
-    F = _nn_onehot(d2)
-    d = jnp.sqrt(jnp.min(d2, axis=-1))
+    F, d2_at = _nn_select(d2)
+    d = jnp.sqrt(d2_at)
 
     hi = lax.Precision.HIGHEST
     b_feat = jnp.stack([b.orientation, b.minutia_type.astype(jnp.float32),
