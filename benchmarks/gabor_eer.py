@@ -1,0 +1,119 @@
+"""Measure the Gabor extension's EER effect (VERDICT r2 item 9).
+
+The Gabor enhancement stage (ops/gabor.py) is the config-gated extension
+the reference chain does not have (preprocessing.gabor.enabled). This
+script runs the identical hard-impostor protocol from
+tests/test_end_to_end_eer.py at larger scale (N users x 2 sessions, every
+print sharing the global ridge field) twice — gabor OFF and gabor ON — and
+records EER, score-distribution separation, and minutiae counts for both,
+so the default can be chosen from data.
+
+    python benchmarks/gabor_eer.py [--users 16] [--out docs/artifacts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _print(seed, phase=0.0, h=320, w=256):
+    """Same generator as tests/test_end_to_end_eer.py: shared global ridge
+    geometry; only blob constellations (the minutiae sources) differ."""
+    g = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = np.sqrt(((yy - h / 2) / 1.1) ** 2 + (xx - w / 2) ** 2)
+    ang = np.arctan2(yy - h / 2, xx - w / 2)
+    ridges = 0.5 + 0.5 * np.cos(r / 4.5 + 2.0 * np.sin(3 * ang) + phase)
+    blobs = np.zeros((h, w), np.float32)
+    for _ in range(110):
+        by, bx = g.integers(40, h - 40), g.integers(40, w - 40)
+        rr = g.integers(2, 6)
+        blobs[by - rr:by + rr, bx - rr:bx + rr] = 1.0
+    ell = (((yy - h / 2) / (0.42 * h)) ** 2 + ((xx - w / 2) / (0.40 * w)) ** 2) < 1
+    img = np.where(ell, 1.0 - 0.8 * ridges * (1 - 0.9 * blobs), 0.95)
+    return (np.clip(img + g.normal(0, 0.02, (h, w)), 0, 1) * 255).astype(np.uint8)
+
+
+def run_once(root: Path, gabor: bool, n_users: int, batch: int) -> dict:
+    import cv2
+    from multimodal_biometric_fingerprints_palms_tpu.preprocessing.runner import (
+        run_preprocessing)
+    from multimodal_biometric_fingerprints_palms_tpu.features.runner import (
+        process_directory)
+    from multimodal_biometric_fingerprints_palms_tpu.matching import runner as mrun
+
+    cluster = root / "sorted" / "cluster_0"
+    cluster.mkdir(parents=True)
+    for user in range(1, n_users + 1):
+        for sess in (1, 2):
+            cv2.imwrite(str(cluster / f"{user}_1_{sess}.jpg"),
+                        _print(10 + user, 0.06 * (sess - 1)))
+
+    t0 = time.time()
+    run_preprocessing(root / "sorted", root / "processed", batch_size=batch,
+                      debug=False, gabor=gabor)
+    process_directory(root / "processed" / "enhanced",
+                      root / "processed" / "minutiae", batch_size=batch)
+    res = mrun.main(demo=False,
+                    minutiae_base=str(root / "processed" / "minutiae"),
+                    logs_dir=str(root / "logs"))
+    n_min = [m.shape[0] for m in res.get("minutiae_counts", [])] \
+        if "minutiae_counts" in res else None
+    return {
+        "gabor": gabor,
+        "eer": float(res["eer"]),
+        "genuine_mean": float(res["genuine_scores"].mean()),
+        "genuine_std": float(res["genuine_scores"].std()),
+        "impostor_mean": float(res["impostor_scores"].mean()),
+        "impostor_q99": float(np.quantile(res["impostor_scores"], 0.99)),
+        "genuine_pairs": int(res["genuine_pairs"]),
+        "impostor_pairs": int(res["impostor_pairs"]),
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--out", default="docs/artifacts")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    results = []
+    for gabor in (False, True):
+        root = Path(tempfile.mkdtemp(prefix=f"mbfp_gabor{int(gabor)}_"))
+        try:
+            results.append(run_once(root, gabor, args.users, args.batch))
+            print(json.dumps(results[-1]), flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    artifact = {
+        "protocol": f"hard-impostor shared-ridge-field, {args.users} users x 2",
+        "device": str(jax.devices()[0]),
+        "off": results[0], "on": results[1],
+        "eer_delta_on_minus_off": results[1]["eer"] - results[0]["eer"],
+    }
+    (out_dir / "gabor_eer_r3.json").write_text(json.dumps(artifact, indent=2))
+    print(json.dumps({"eer_off": results[0]["eer"],
+                      "eer_on": results[1]["eer"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""At-scale SSL pipeline run with recorded clustering quality.
+
+VERDICT r2 item 6: train the real `effnetv2_s` backbone for the reference's
+3-epoch budget (config_classifier.yml:17-40) on a multi-thousand-image
+generated dataset with LEARNABLE structure, then run the full chain
+pipeline -> sorter over its id_clusters.csv, and record silhouette/purity
+artifacts (committed under docs/artifacts/).
+
+Dataset: N_FAMILIES ridge-pattern families (distinct ridge frequency band,
+flow-field style, global curvature); each ID samples its family's
+parameters; each impression adds rigid jitter + noise + contrast jitter.
+An SSL model that learns anything useful clusters IDs by family well above
+chance (purity 1/N_FAMILIES).
+
+    python benchmarks/ssl_at_scale.py [--ids 256] [--per-id 8] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_FAMILIES = 8
+
+
+def family_params(rng, fam: int) -> dict:
+    """Family = a region of pattern space (frequency x style x curvature)."""
+    return dict(
+        freq=2.5 + 0.9 * fam + rng.uniform(-0.15, 0.15),
+        style=fam % 4,           # 0 rings, 1 spiral, 2 waves, 3 saddle
+        curve=0.4 + 0.15 * (fam // 4),
+    )
+
+
+def render(rng, p: dict, h=320, w=256) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy = h / 2 + rng.uniform(-25, 25)
+    cx = w / 2 + rng.uniform(-20, 20)
+    u, v = (yy - cy) / 100.0, (xx - cx) / 100.0
+    r = np.hypot(u, v)
+    ang = np.arctan2(u, v)
+    ph = rng.uniform(0, 6.28)
+    if p["style"] == 0:
+        field = r * p["freq"] * 6.28
+    elif p["style"] == 1:
+        field = (r * p["freq"] + p["curve"] * ang) * 6.28
+    elif p["style"] == 2:
+        field = (u * p["freq"] + p["curve"] * np.sin(2 * v)) * 6.28
+    else:
+        field = (u * v * p["curve"] * 4 + r * p["freq"]) * 6.28
+    img = 0.5 + 0.45 * np.cos(field + ph)
+    ell = (u / 1.4) ** 2 + (v / 1.15) ** 2 < 1.0
+    img = np.where(ell, img, 0.93)
+    img = img + rng.normal(0, 0.04, img.shape)
+    gain = rng.uniform(0.85, 1.1)
+    return (np.clip(img * gain, 0, 1) * 255).astype(np.uint8)
+
+
+def gen_dataset(root: Path, n_ids: int, per_id: int, seed=0) -> dict:
+    import cv2
+    rng = np.random.default_rng(seed)
+    out = root / "DBII"
+    out.mkdir(parents=True, exist_ok=True)
+    fam_of_id = {}
+    for i in range(n_ids):
+        fam = i % N_FAMILIES
+        fam_of_id[str(i + 1)] = fam
+        fp = family_params(rng, fam)
+        for s in range(per_id):
+            img = render(rng, fp)
+            cv2.imwrite(str(out / f"{i + 1}_1_{s + 1}.jpg"), img)
+    return fam_of_id
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ids", type=int, default=256)
+    ap.add_argument("--per-id", type=int, default=8)
+    ap.add_argument("--out", default="docs/artifacts")
+    ap.add_argument("--workdir", default="/tmp/mbfp_ssl_at_scale")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mbfp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import yaml
+
+    work = Path(args.workdir)
+    data_dir = work / "dataset"
+    if not (data_dir / "DBII").exists():
+        print(f"generating {args.ids} ids x {args.per_id} images ...",
+              flush=True)
+        fam_of_id = gen_dataset(data_dir, args.ids, args.per_id)
+        (work / "families.json").write_text(json.dumps(fam_of_id))
+    else:
+        fam_of_id = json.loads((work / "families.json").read_text())
+
+    # config: the reference's training budget (3 epochs, batch 16, lr 1e-5,
+    # NT-Xent tau 0.5) on the real effnetv2_s backbone
+    cfg = yaml.safe_load(
+        (Path(__file__).parents[1] / "configs" / "config_classifier.yml")
+        .read_text())
+    cfg["paths"]["root_dir"] = str(work)
+    cfg["paths"]["dataset_dir"] = str(data_dir)
+    cfg["paths"]["save_dir"] = str(work / "save_models")
+    cfg["paths"]["figures_dir"] = str(work / "figures")
+    cfg["paths"]["sorted_dataset_dir"] = str(work / "sorted_dataset")
+    cfg["sorted"]["input_csv"] = str(work / "save_models" / "id_clusters.csv")
+    cfg["sorted"]["embeddings_path"] = str(work / "save_models" / "embeddings.npz")
+    cfg["sorted"]["dataset_roots"] = [str(data_dir)]
+    cfg["sorted"]["output_dir"] = str(work / "sorted_dataset")
+    cfg_path = work / "config.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.pipeline import (
+        main as pipeline_main,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.sorter import (
+        main as sorter_main,
+    )
+
+    t0 = time.time()
+    pipeline_main(config_path=str(cfg_path), dataset_dirs=[data_dir / "DBII"])
+    t_pipeline = time.time() - t0
+
+    t0 = time.time()
+    sorter_report = sorter_main(
+        input_csv=work / "save_models" / "id_clusters.csv",
+        embeddings_npz=work / "save_models" / "embeddings.npz",
+        output_dir=work / "sorted_dataset",
+        report_path=work / "save_models" / "sorted_report.json")
+    t_sort = time.time() - t0
+
+    # purity of the GLOBAL clusters against the generator's family labels
+    import csv as _csv
+    cluster_of_id = {}
+    with open(work / "save_models" / "id_clusters.csv") as f:
+        for row in _csv.DictReader(f):
+            gid = row["global_id"].split("_", 1)[-1]
+            cluster_of_id[gid] = int(row["cluster_label"])
+    from collections import Counter, defaultdict
+    by_cluster = defaultdict(list)
+    for gid, cl in cluster_of_id.items():
+        if gid in fam_of_id:
+            by_cluster[cl].append(fam_of_id[gid])
+    n_total = sum(len(v) for v in by_cluster.values())
+    n_major = sum(Counter(v).most_common(1)[0][1] for v in by_cluster.values())
+    purity = n_major / max(n_total, 1)
+
+    clustering_report = json.loads(
+        (work / "save_models" / "clustering_report_detailed.json").read_text())
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    artifact = {
+        "dataset": {"ids": args.ids, "per_id": args.per_id,
+                    "families": N_FAMILIES, "images": args.ids * args.per_id},
+        "backbone": cfg["ssl"]["model"].get("backbone", "effnetv2_s"),
+        "epochs": cfg["ssl"]["training"].get("epochs", 3),
+        "family_purity": purity,
+        "chance_purity": 1.0 / N_FAMILIES,
+        "clustering_report": clustering_report,
+        "sorter_report": sorter_report if isinstance(sorter_report, dict)
+                         else None,
+        "seconds_pipeline": round(t_pipeline, 1),
+        "seconds_sorter": round(t_sort, 1),
+        "device": str(jax.devices()[0]),
+    }
+    (out_dir / "ssl_at_scale_r3.json").write_text(json.dumps(artifact, indent=2))
+    print(json.dumps({"family_purity": purity,
+                      "chance": 1.0 / N_FAMILIES,
+                      "silhouette": clustering_report.get("silhouette"),
+                      "seconds_pipeline": artifact["seconds_pipeline"]}))
+
+
+if __name__ == "__main__":
+    main()

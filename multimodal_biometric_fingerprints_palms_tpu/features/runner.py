@@ -23,16 +23,24 @@ from ..utils.io import (
     read_image_grayscale, write_image, minutiae_to_json, save_minutiae_json,
 )
 from ..utils.logging import console_step, get_file_logger
-from ..utils.padding import pad_image_batch
+from ..utils.transfer import device_unpackbits, host_packbits
 from .minutiae import extract_minutiae
 from .quality import postprocess_minutiae
 
 logger = get_file_logger(__name__, "dataset/processed/minutiae/minutiae_extraction.log")
 
 
-def _extract_batch(skels: jnp.ndarray):
+def _extract_batch(skels_packed: jnp.ndarray):
+    """Skeletons arrive bit-packed (8 px/byte — the relay link is the
+    transfer bottleneck, utils/transfer.py); unpack on device, extract."""
+    skels = device_unpackbits(skels_packed).astype(jnp.float32)
     ms = extract_minutiae(skels)
     return postprocess_minutiae(ms, skels)
+
+
+# Module-level jit: a fresh jax.jit wrapper per process_directory call would
+# re-trace and re-compile each call (see preprocessing/runner.py note).
+_EXTRACT_JIT = jax.jit(_extract_batch)
 
 
 def _overlay(skel: np.ndarray, records: list[dict]) -> np.ndarray:
@@ -61,7 +69,7 @@ def process_directory(input_base: str | Path = "dataset/processed/enhanced",
     images, metas = [], []
     for p in skel_paths:
         try:
-            img = (read_image_grayscale(p) > 127).astype(np.float32)
+            img = read_image_grayscale(p) > 127
         except Exception as e:
             logger.error("corrupt skeleton %s: %s", p, e)
             continue
@@ -71,18 +79,23 @@ def process_directory(input_base: str | Path = "dataset/processed/enhanced",
     shape_h = max(m[1][0] for m in metas)
     shape_w = max(m[1][1] for m in metas)
     shape = (shape_h + (-shape_h) % 32, shape_w + (-shape_w) % 32)
-    fn = jax.jit(_extract_batch)
+    fn = _EXTRACT_JIT
+
+    def _enqueue(i):
+        chunk = images[i:i + batch_size]
+        batch = np.zeros((batch_size, shape[0], shape[1]), bool)
+        for j, img in enumerate(chunk):
+            batch[j, :img.shape[0], :img.shape[1]] = img
+        return fn(jnp.asarray(host_packbits(batch))), len(chunk)
 
     t_start = time.time()
     n_done = 0
-    for i in range(0, len(images), batch_size):
-        chunk = images[i:i + batch_size]
-        batch, _ = pad_image_batch(chunk, shape)
-        real = len(chunk)
-        if real < batch_size:
-            batch = np.concatenate(
-                [batch, np.zeros((batch_size - real,) + shape, np.float32)])
-        ms = jax.tree.map(np.asarray, fn(jnp.asarray(batch)))
+    starts = list(range(0, len(images), batch_size))
+    pending = _enqueue(starts[0]) if starts else None
+    for bi, i in enumerate(starts):
+        res, real = pending
+        pending = _enqueue(starts[bi + 1]) if bi + 1 < len(starts) else None
+        ms = jax.tree.map(np.asarray, res)
 
         for j in range(real):
             path, _ = metas[i + j]

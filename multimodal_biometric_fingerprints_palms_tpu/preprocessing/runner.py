@@ -17,6 +17,7 @@ Outputs per image, preserving cluster subdirs (run_preprocessing.py:120-140):
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 from pathlib import Path
 
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from ..utils.io import read_image_grayscale, write_image
 from ..utils.logging import console_step, get_file_logger
-from ..utils.padding import pad_image_batch
+from ..utils.transfer import device_packbits, device_to_u8, host_unpackbits
 from .enhance import preprocess_fingerprint
 
 _IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
@@ -47,6 +48,33 @@ def _canonical_shape(shapes, multiple: int = 32) -> tuple[int, int]:
     h = max(s[0] for s in shapes)
     w = max(s[1] for s in shapes)
     return h + (-h) % multiple, w + (-w) % multiple
+
+
+@functools.lru_cache(maxsize=8)
+def _packed_pipeline_fn(gabor: bool, gabor_items: tuple | None, debug: bool):
+    """One jitted pipeline per (gabor, params, debug) config, cached at
+    module level: a fresh jax.jit closure per run_preprocessing call would
+    re-trace AND re-compile every call (the in-process pjit cache is keyed
+    by wrapper identity, and the persistent cache does not hit under the
+    axon relay backend — a 25+ s compile per call, measured).
+
+    Only what gets written leaves the device, quantized: grays as uint8,
+    masks bit-packed 8 px/byte (utils/transfer.py)."""
+    gabor_params = dict(gabor_items) if gabor_items else None
+
+    def _run_packed(batch_u8):
+        x = batch_u8.astype(jnp.float32) / 255.0
+        res = preprocess_fingerprint(x, gabor=gabor, gabor_params=gabor_params)
+        out = {"enhanced": device_to_u8(res.segmented),
+               "skeleton": device_packbits(res.skeleton)}
+        if debug:
+            out.update(normalized=device_to_u8(res.normalized),
+                       denoised=device_to_u8(res.denoised),
+                       binary=device_packbits(res.binary),
+                       mask=device_packbits(res.mask))
+        return out
+
+    return jax.jit(_run_packed)
 
 
 def run_preprocessing(input_dir: str | Path,
@@ -83,6 +111,8 @@ def run_preprocessing(input_dir: str | Path,
         from ..utils.native_loader import native_available
         native = native_available()
 
+    # Host staging is uint8: the device casts to f32/255 itself, so the
+    # upload link carries 4x fewer bytes (utils/transfer.py rationale).
     images, metas = [], []
     if native:
         from ..utils.native_loader import batch_load
@@ -95,12 +125,14 @@ def run_preprocessing(input_dir: str | Path,
                 if status[j] != 0:
                     logger.error("unreadable image %s", p)
                     continue
-                images.append(staged[j, :hs[j], :ws[j]].copy())
+                u8 = np.round(
+                    staged[j, :hs[j], :ws[j]] * 255.0).astype(np.uint8)
+                images.append(u8)
                 metas.append((p, (int(hs[j]), int(ws[j]))))
     else:
         for p in paths:
             try:
-                img = read_image_grayscale(p).astype(np.float32) / 255.0
+                img = read_image_grayscale(p)
             except Exception as e:
                 logger.error("unreadable image %s: %s", p, e)
                 continue
@@ -124,25 +156,32 @@ def run_preprocessing(input_dir: str | Path,
         gabor_params = gcfg if gabor else None
     else:
         gabor_params = None
-    import functools
-    fn = jax.jit(functools.partial(preprocess_fingerprint, gabor=gabor,
-                                   gabor_params=gabor_params))
+    fn = _packed_pipeline_fn(
+        gabor,
+        tuple(sorted(gabor_params.items())) if gabor_params else None,
+        debug)
+
+    def _enqueue(i):
+        chunk = images[i:i + batch_size]
+        batch = np.zeros((batch_size,) + shape, np.uint8)
+        for j, img in enumerate(chunk):  # last chunk stays padded to size
+            batch[j, :img.shape[0], :img.shape[1]] = img
+        return fn(jnp.asarray(batch)), len(chunk)
 
     t_start = time.time()
     n_done = 0
-    for i in range(0, len(images), batch_size):
-        chunk = images[i:i + batch_size]
-        batch, _ = pad_image_batch(chunk, shape)
-        # Fixed batch shape: pad the last chunk to batch_size to avoid a
-        # second XLA compilation.
-        real = len(chunk)
-        if real < batch_size:
-            batch = np.concatenate(
-                [batch, np.zeros((batch_size - real,) + shape, np.float32)])
-        t0 = time.time()
-        res = fn(jnp.asarray(batch))
-        res = jax.tree.map(lambda a: np.asarray(a), res)
-        elapsed = time.time() - t0
+    starts = list(range(0, len(images), batch_size))
+    # One-batch lookahead: batch i+1 computes while batch i's outputs are
+    # fetched and written (the device stream is in-order).
+    pending = _enqueue(starts[0]) if starts else None
+    for bi, i in enumerate(starts):
+        res, real = pending
+        pending = _enqueue(starts[bi + 1]) if bi + 1 < len(starts) else None
+        res = jax.tree.map(np.asarray, res)
+        skeleton = host_unpackbits(res["skeleton"], shape[1])
+        if debug:
+            binary = host_unpackbits(res["binary"], shape[1])
+            fgmask = host_unpackbits(res["mask"], shape[1])
 
         for j in range(real):
             path, (ih, iw) = metas[i + j]
@@ -150,20 +189,23 @@ def run_preprocessing(input_dir: str | Path,
             out_sub = enhanced_dir / rel
             base = path.stem
             write_image(out_sub / f"{base}_enhanced.jpg",
-                        res.segmented[j][:ih, :iw])
+                        res["enhanced"][j][:ih, :iw])
             write_image(out_sub / f"{base}_skeleton.jpg",
-                        res.skeleton[j][:ih, :iw].astype(np.float32))
+                        skeleton[j][:ih, :iw].astype(np.uint8) * 255)
             if debug:
                 dbg = debug_dir / rel
-                write_image(dbg / f"{base}_normalized.jpg", res.normalized[j][:ih, :iw])
-                write_image(dbg / f"{base}_denoised.jpg", res.denoised[j][:ih, :iw])
-                write_image(dbg / f"{base}_segmented.jpg", res.segmented[j][:ih, :iw])
+                write_image(dbg / f"{base}_normalized.jpg",
+                            res["normalized"][j][:ih, :iw])
+                write_image(dbg / f"{base}_denoised.jpg",
+                            res["denoised"][j][:ih, :iw])
+                write_image(dbg / f"{base}_segmented.jpg",
+                            res["enhanced"][j][:ih, :iw])
                 write_image(dbg / f"{base}_binary.jpg",
-                            res.binary[j][:ih, :iw].astype(np.float32))
+                            binary[j][:ih, :iw].astype(np.uint8) * 255)
                 mask_dir = dbg / "mask"
                 write_image(mask_dir / path.name,
-                            res.mask[j][:ih, :iw].astype(np.float32))
-            logger.info("processed %s (batch %.2fs)", path.name, elapsed)
+                            fgmask[j][:ih, :iw].astype(np.uint8) * 255)
+            logger.info("processed %s", path.name)
         n_done += real
 
     total = time.time() - t_start
