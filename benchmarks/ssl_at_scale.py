@@ -176,7 +176,7 @@ def main():
     (out_dir / "ssl_at_scale_r3.json").write_text(json.dumps(artifact, indent=2))
     print(json.dumps({"family_purity": purity,
                       "chance": 1.0 / N_FAMILIES,
-                      "silhouette": clustering_report.get("silhouette"),
+                      "silhouette": clustering_report.get("silhouette_cosine"),
                       "seconds_pipeline": artifact["seconds_pipeline"]}))
 
 
