@@ -82,21 +82,28 @@ def compute_orientation_field(
     gyy = gaussian_blur(gyb * gyb, smooth_sigma).astype(jnp.float32)
     gxy = gaussian_blur(gxb * gyb, smooth_sigma).astype(jnp.float32)
 
-    rel = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
+    r = jnp.sqrt((gxx - gyy) ** 2 + 4.0 * gxy * gxy)
     from .histogram import quantiles_approx
     # histogram quantiles (error <= range/2048) instead of per-image sorts
-    q = quantiles_approx(rel, jnp.asarray(list(reliability_clip)), bins=2048)
+    q = quantiles_approx(r, jnp.asarray(list(reliability_clip)), bins=2048)
     lo = q[..., 0][..., None, None]
     hi = q[..., 1][..., None, None]
-    rel = jnp.clip((rel - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    rel = jnp.clip((r - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
 
-    theta = 0.5 * jnp.arctan2(2.0 * gxy, (gxx - gyy) + 1e-12) + jnp.pi / 2.0
-
-    # Reliability-weighted circular mean per block (vectorized :52-72).
+    # The reference evaluates theta = 1/2 atan2(2Gxy, Gxx-Gyy) + pi/2 per
+    # pixel and then sin/cos of the doubled angle (orientation.py:44-45,
+    # 52-72). Those transcendentals are unnecessary: 2theta differs from
+    # atan2(2Gxy, Gxx-Gyy) by pi, so sin(2theta) = -2Gxy/r and
+    # cos(2theta) = -(Gxx-Gyy)/r with r the anisotropy magnitude already
+    # computed for reliability. The 1e-12 on the cos numerator reproduces
+    # the reference's atan2 x-argument epsilon (flat pixels -> cos = -1).
     bs = block_size
+    r_safe = jnp.maximum(r, 1e-12)
+    sin2t = -2.0 * gxy / r_safe
+    cos2t = -((gxx - gyy) + 1e-12) / r_safe
     w = rel + 1e-6
-    s_sum = _block_reduce_sum(w * jnp.sin(2.0 * theta), bs)
-    c_sum = _block_reduce_sum(w * jnp.cos(2.0 * theta), bs)
+    s_sum = _block_reduce_sum(w * sin2t, bs)
+    c_sum = _block_reduce_sum(w * cos2t, bs)
     rel_mean = _block_reduce_sum(rel, bs) / float(bs * bs)
 
     if mask is not None:

@@ -193,20 +193,25 @@ def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
         out = (key + base) if forward else (key - base)
         return jnp.where(fg, out, _INF_I)
 
+    # After the four keyed axis scans the (0,+-1)/(+-1,0) offsets are
+    # redundant: an edge-adjacent fg neighbor shares a row/column run the
+    # scans already min-reduce over, so they cannot lower the post-scan
+    # value. Connectivity-1 therefore needs no stencil at all (the sweep is
+    # just the four scans) and connectivity-2 only the four diagonal hops —
+    # ~1/3 fewer VPU ops per sweep with an unchanged fixpoint (the
+    # while_loop still runs to convergence).
     if connectivity == 2:
-        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                (1, -1), (1, 0), (1, 1)]
+        offs = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
     else:
-        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        offs = []
 
     def stencil(v):
+        if not offs:
+            return v
         best = v
         for dy, dx in offs:
-            s = v
-            if dy != 0:
-                s = _shift_no_wrap_i(s, dy, 0, _INF_I)
-            if dx != 0:
-                s = _shift_no_wrap_i(s, dx, 1, _INF_I)
+            s = _shift_no_wrap_i(_shift_no_wrap_i(v, dy, 0, _INF_I),
+                                 dx, 1, _INF_I)
             best = jnp.minimum(best, s)
         return jnp.where(fg, best, _INF_I)
 
