@@ -102,6 +102,150 @@ def _prefix_count_excl(m: jnp.ndarray, axis: int, length: int) -> jnp.ndarray:
     return acc
 
 
+def _run_ids(fg, h: int, w: int):
+    """Per-pixel horizontal-run index: id 0..n_runs-1 in row-major order,
+    constant on each contiguous fg run. Pure shift/add doubling scans.
+
+    Run ids compact the label space for the size-histogram phases: a
+    contiguous fg run is connected (both 4- and 8-connectivity), so the
+    component-min RUN id is as injective a component key as the
+    component-min pixel index, but lives in [0, h*w/2) with real masks
+    having only a few thousand runs — the one-hot histogram contractions
+    then touch ~20x fewer count-table rows."""
+    fgi = fg.astype(jnp.int32)
+    head = fgi * (1 - _shift_no_wrap_i(fgi, 1, 1, 0))
+    # inclusive head count along each row
+    p_inc = head
+    shift = 1
+    while shift < w:
+        p_inc = p_inc + _shift_no_wrap_i(p_inc, shift, 1, 0)
+        shift *= 2
+    # row totals, broadcast to every pixel of the row (backward max of a
+    # row-monotone array = its last value)
+    tot = p_inc
+    shift = 1
+    while shift < w:
+        tot = jnp.maximum(tot, _shift_no_wrap_i(tot, -shift, 1, 0))
+        shift *= 2
+    # exclusive cumsum of row totals down the rows
+    s = _shift_no_wrap_i(tot, 1, 0, 0)
+    shift = 1
+    while shift < h:
+        s = s + _shift_no_wrap_i(s, shift, 0, 0)
+        shift *= 2
+    return s + p_inc - 1          # valid at fg pixels
+
+
+# Run-id count tables decompose id = hi*128 + lo; groups of 16 table rows
+# (= 2048 ids) are accumulated with one MXU contraction per 8-row image
+# chunk, and only the groups a chunk can reach (ids are row-major, so a
+# chunk's max label bounds its group count) are visited — real ridge masks
+# have ~1-4k runs, i.e. ONE group per chunk.
+_RLE_LO = 128
+_RLE_GROUP = 16
+
+
+def _rle_nhi(h: int, w: int) -> int:
+    nhi = -(-(h * w // 2 + 2) // _RLE_LO)
+    return -(-nhi // _RLE_GROUP) * _RLE_GROUP
+
+
+def _rle_onehots(chunk, w: int, lo_iota):
+    """(1, 8w) hi values and (LO, 8w) lo one-hot for an 8-row label chunk,
+    concatenated along the contracted lane axis.
+
+    Rows are extracted with a sublane-masked sum rather than `chunk[k:k+1]`:
+    sliced rows keep their source sublane offset and Mosaic rejects lane
+    concatenation of vectors with mismatched sublane offsets."""
+    sub_iota = lax.broadcasted_iota(jnp.int32, chunk.shape, 0)
+    his, lo_ohs = [], []
+    for k in range(8):
+        row = jnp.sum(jnp.where(sub_iota == k, chunk, 0.0), axis=0,
+                      keepdims=True)
+        hi = jnp.floor(row / float(_RLE_LO))
+        lo = row - hi * float(_RLE_LO)
+        his.append(hi)
+        lo_ohs.append((lo_iota == lo).astype(jnp.bfloat16))
+    return (jnp.concatenate(his, axis=1),
+            jnp.concatenate(lo_ohs, axis=1))
+
+
+def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
+    """Per-label pixel counts for run-id labels. count_ref (nhi, _RLE_LO)
+    f32. Background maps to hi=-2 (label -256), matching no group."""
+    lab_ref[:] = jnp.where(fg, label_f, -256.0)
+    count_ref[:] = jnp.zeros_like(count_ref)
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
+        jnp.float32)
+    hi_iota = lax.broadcasted_iota(
+        jnp.int32, (_RLE_GROUP, 8 * w), 0).astype(jnp.float32)
+
+    def chunk_body(c, _):
+        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        gmax = (jnp.max(chunk).astype(jnp.int32)
+                // (_RLE_GROUP * _RLE_LO)) + 1
+        hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota)
+
+        def group_body(g, _):
+            oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
+                     == hi_cat).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                oh_hi, lo_oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            count_ref[pl.ds(g * _RLE_GROUP, _RLE_GROUP), :] = (
+                count_ref[pl.ds(g * _RLE_GROUP, _RLE_GROUP), :] + acc)
+            return _
+
+        lax.fori_loop(0, gmax, group_body, None)
+        return _
+
+    lax.fori_loop(0, h // 8, chunk_body, None)
+
+
+def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
+    """Per-pixel size[p] = count[hi_p, lo_p] for run-id labels, with the
+    same dynamic group bound. Background pixels get 0."""
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
+        jnp.float32)
+    hi_iota = lax.broadcasted_iota(
+        jnp.int32, (_RLE_GROUP, 8 * w), 0).astype(jnp.float32)
+
+    def chunk_body(c, _):
+        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        gmax = (jnp.max(chunk).astype(jnp.int32)
+                // (_RLE_GROUP * _RLE_LO)) + 1
+        hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota)
+
+        def group_body(g, acc):
+            oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
+                     == hi_cat).astype(jnp.float32)
+            tmp = jax.lax.dot_general(
+                count_ref[pl.ds(g * _RLE_GROUP, _RLE_GROUP), :],
+                lo_oh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (GROUP, 8w)
+            return acc + jnp.sum(oh_hi * tmp, axis=0, keepdims=True)
+
+        flat = lax.fori_loop(0, gmax, group_body,
+                             jnp.zeros((1, 8 * w), jnp.float32))
+        sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(
+            [flat[:, k * w:(k + 1) * w] for k in range(8)], axis=0)
+        return _
+
+    lax.fori_loop(0, h // 8, chunk_body, None)
+    return sizes_ref[:]
+
+
+def _relax_and_sizes(fg, h: int, w: int, connectivity: int, max_iters: int,
+                     count_ref, lab_ref, sizes_ref):
+    """Run-id labeling + per-pixel component-size map (the filter-kernel
+    workhorse)."""
+    ids = _run_ids(fg, h, w)
+    label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
+    _runid_hist(label, fg, h, w, count_ref, lab_ref)
+    sizes = _runid_lookup(h, w, count_ref, lab_ref, sizes_ref)
+    return label, sizes
+
+
 def _cc_kernel(mask_ref, label_ref, *, h: int, w: int, connectivity: int,
                max_iters: int):
     fg = mask_ref[0] > 0.5                                   # (h, w) bool
@@ -237,92 +381,6 @@ def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
     return jnp.where(fg, v.astype(jnp.float32), _INF)
 
 
-def _hi_groups(h: int, w: int, nhi: int, group_rows: int = 32):
-    """Static (chunk_lo, chunk_hi, nhi_g) row groups for the triangular
-    histogram optimization: labels are component-MIN linear indices, so a
-    pixel at image row r has label <= r*w + w - 1 and its hi index is
-    bounded by the row — early row groups only need a prefix of the count
-    table's rows (~45% of the full-table MACs over all groups)."""
-    groups = []
-    for r0 in range(0, h, group_rows):
-        r1 = min(r0 + group_rows, h)
-        nhi_g = min(-(-((r1 - 1) * w + w) // 256), nhi)
-        nhi_g = min(-(-nhi_g // 8) * 8, nhi)
-        groups.append((r0 // 8, r1 // 8, nhi_g))
-    return groups
-
-
-def _label_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
-    """Phase 1: per-label pixel counts. count_ref (nhi, 256) f32; lab_ref
-    (h, w) f32 scratch. Background maps to slot -256 (hi = -1), whose
-    one-hot is identically zero — no bg slot, no weight mask."""
-    nhi = count_ref.shape[0]
-    lab_ref[:] = jnp.where(fg, label_f, -256.0)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(jnp.float32)
-    count_ref[:] = jnp.zeros((nhi, 256), jnp.float32)
-
-    for c_lo, c_hi, nhi_g in _hi_groups(h, w, nhi):
-        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi_g, w), 0).astype(
-            jnp.float32)
-
-        def accum_chunk(c, _):
-            chunk = lab_ref[pl.ds(c * 8, 8), :]
-            acc = count_ref[0:nhi_g, :]
-            for k in range(8):
-                row = chunk[k:k + 1, :]
-                hi = jnp.floor(row / 256.0)
-                lo = row - hi * 256.0
-                oh_hi = (hi_iota == hi).astype(jnp.bfloat16)
-                oh_lo = (lo_iota == lo).astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
-                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            count_ref[0:nhi_g, :] = acc
-            return _
-
-        lax.fori_loop(c_lo, c_hi, accum_chunk, None)
-
-
-def _size_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
-    """Phase 2: per-pixel lookup size[p] = count[hi_p, lo_p] via the same
-    one-hots (tmp = count @ oh_lo; size_row = colsum(oh_hi * tmp)), with
-    the same triangular row grouping. Background pixels get 0."""
-    nhi = count_ref.shape[0]
-    lo_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(jnp.float32)
-
-    for c_lo, c_hi, nhi_g in _hi_groups(h, w, nhi):
-        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi_g, w), 0).astype(
-            jnp.float32)
-        count_g = count_ref[0:nhi_g, :]
-
-        def lookup_chunk(c, _):
-            chunk = lab_ref[pl.ds(c * 8, 8), :]
-            rows = []
-            for k in range(8):
-                row = chunk[k:k + 1, :]
-                hi = jnp.floor(row / 256.0)
-                lo = row - hi * 256.0
-                oh_hi = (hi_iota == hi).astype(jnp.float32)
-                oh_lo = (lo_iota == lo).astype(jnp.float32)
-                tmp = jax.lax.dot_general(
-                    count_g, oh_lo, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (nhi_g, w)
-                rows.append(jnp.sum(oh_hi * tmp, axis=0, keepdims=True))
-            sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(rows, axis=0)
-            return _
-
-        lax.fori_loop(c_lo, c_hi, lookup_chunk, None)
-    return sizes_ref[:]
-
-
-def _pixel_size_map(label_f, fg, h: int, w: int, count_ref, lab_ref,
-                    sizes_ref):
-    """Per-pixel component-size map: `_label_hist` + `_size_lookup`.
-    Sizes are valid at foreground pixels (callers mask by fg)."""
-    _label_hist(label_f, fg, h, w, count_ref, lab_ref)
-    return _size_lookup(h, w, count_ref, lab_ref, sizes_ref)
-
-
 def _cc_filter_kernel(mask_ref, out_ref, count_ref, lab_ref, sizes_ref, *,
                       h: int, w: int,
                       connectivity: int, max_iters: int, mode: str,
@@ -332,35 +390,36 @@ def _cc_filter_kernel(mask_ref, out_ref, count_ref, lab_ref, sizes_ref, *,
     if mode == "clean":
         # remove_small_objects(min_size) then remove_small_holes(max_size),
         # both relaxations VMEM-resident, no HBM round trip between them.
-        label = _label_relax(fg, h, w, connectivity, max_iters)
-        sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        _, sizes = _relax_and_sizes(fg, h, w, connectivity, max_iters,
+                                    count_ref, lab_ref, sizes_ref)
         kept = jnp.logical_and(fg, sizes >= float(min_size))
         inv = jnp.logical_not(kept)
-        label2 = _label_relax(inv, h, w, connectivity, max_iters)
-        sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+        _, sizes2 = _relax_and_sizes(inv, h, w, connectivity, max_iters,
+                                     count_ref, lab_ref, sizes_ref)
         fill = jnp.logical_and(inv, sizes2 < float(max_size))
         out = jnp.logical_or(kept, fill)
     elif mode == "remove_small":
-        label = _label_relax(fg, h, w, connectivity, max_iters)
-        sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+        _, sizes = _relax_and_sizes(fg, h, w, connectivity, max_iters,
+                                    count_ref, lab_ref, sizes_ref)
         out = jnp.logical_and(fg, sizes >= float(min_size))
     elif mode == "fill_holes":
         inv = jnp.logical_not(fg)
-        label = _label_relax(inv, h, w, connectivity, max_iters)
-        sizes = _pixel_size_map(label, inv, h, w, count_ref, lab_ref, sizes_ref)
+        _, sizes = _relax_and_sizes(inv, h, w, connectivity, max_iters,
+                                    count_ref, lab_ref, sizes_ref)
         fill = jnp.logical_and(inv, sizes < float(max_size))
         out = jnp.logical_or(fg, fill)
     elif mode == "largest":
-        label = _label_relax(fg, h, w, connectivity, max_iters)
+        ids = _run_ids(fg, h, w)
+        label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
         # phase 1 only: the winner is found on the count table, and
         # membership is a label compare — no per-pixel size lookup needed
-        _label_hist(label, fg, h, w, count_ref, lab_ref)
+        _runid_hist(label, fg, h, w, count_ref, lab_ref)
         count = count_ref[:]
         nhi = count.shape[0]
-        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 0)
-        lo_iota = lax.broadcasted_iota(jnp.int32, (nhi, 256), 1)
+        hi_iota = lax.broadcasted_iota(jnp.int32, (nhi, _RLE_LO), 0)
+        lo_iota = lax.broadcasted_iota(jnp.int32, (nhi, _RLE_LO), 1)
         m = jnp.max(count)
-        idx = (hi_iota * 256 + lo_iota).astype(jnp.float32)
+        idx = (hi_iota * _RLE_LO + lo_iota).astype(jnp.float32)
         best = jnp.min(jnp.where(count == m, idx, float(2 ** 30)))
         out = jnp.logical_and(fg, label == best)
     else:  # pragma: no cover
@@ -384,8 +443,7 @@ def cc_filter_pallas(mask: jnp.ndarray, mode: str, connectivity: int = 2,
     b = 1
     for d in lead:
         b *= d
-    nhi = -(-(h * w + 1) // 256)
-    nhi = -(-nhi // 8) * 8
+    nhi = _rle_nhi(h, w)
     flat = mask.reshape(b, h, w).astype(jnp.float32)
     kern = functools.partial(_cc_filter_kernel, h=h, w=w,
                              connectivity=connectivity, max_iters=max_iters,
@@ -398,7 +456,7 @@ def cc_filter_pallas(mask: jnp.ndarray, mode: str, connectivity: int = 2,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32)],
         interpret=interpret,
@@ -507,12 +565,12 @@ def _thin_fused_kernel(bin_ref, rel_ref, out_ref, count_ref, lab_ref,
     one kernel — the XLA composition round-trips every intermediate
     through HBM)."""
     fg = bin_ref[0] > 0.5
-    label = _label_relax(fg, h, w, 1, cc_iters)
-    sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+    _, sizes = _relax_and_sizes(fg, h, w, 1, cc_iters,
+                                count_ref, lab_ref, sizes_ref)
     kept = jnp.logical_and(fg, sizes >= float(min_size))
     inv = jnp.logical_not(kept)
-    label2 = _label_relax(inv, h, w, 1, cc_iters)
-    sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+    _, sizes2 = _relax_and_sizes(inv, h, w, 1, cc_iters,
+                                 count_ref, lab_ref, sizes_ref)
     cleaned = jnp.logical_or(kept,
                              jnp.logical_and(inv, sizes2 < float(max_size)))
 
@@ -552,8 +610,7 @@ def thin_fused_pallas(binary_smooth: jnp.ndarray, rel_smooth: jnp.ndarray,
     b = 1
     for d in lead:
         b *= d
-    nhi = -(-(h * w + 1) // 256)
-    nhi = -(-nhi // 8) * 8
+    nhi = _rle_nhi(h, w)
     kern = functools.partial(_thin_fused_kernel, h=h, w=w,
                              min_size=min_size, max_size=max_size,
                              rel_thresh=rel_thresh, cc_iters=cc_iters,
@@ -566,7 +623,7 @@ def thin_fused_pallas(binary_smooth: jnp.ndarray, rel_smooth: jnp.ndarray,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32)],
         interpret=interpret,

@@ -267,7 +267,7 @@ def _binarize_fused_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
     OR-refinement -> small-object/hole cleanup (keyed CC relax + size
     histograms) -> 3x3 ellipse open -> erode marker -> geodesic
     reconstruction as marker reachability."""
-    from .pallas_cc import _label_relax, _pixel_size_map
+    from .pallas_cc import _label_relax, _relax_and_sizes
 
     x = img_ref[0]                                            # (h, w) [0,1]
     f32 = jnp.float32
@@ -358,12 +358,12 @@ def _binarize_fused_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
 
     # --- cleanup: remove_small_objects(min_size) + remove_small_holes ---
     fg = binary > 0.5
-    label = _label_relax(fg, h, w, 1, cc_iters)
-    sizes = _pixel_size_map(label, fg, h, w, count_ref, lab_ref, sizes_ref)
+    _, sizes = _relax_and_sizes(fg, h, w, 1, cc_iters,
+                                count_ref, lab_ref, sizes_ref)
     kept = jnp.logical_and(fg, sizes >= float(min_size))
     inv = jnp.logical_not(kept)
-    label2 = _label_relax(inv, h, w, 1, cc_iters)
-    sizes2 = _pixel_size_map(label2, inv, h, w, count_ref, lab_ref, sizes_ref)
+    _, sizes2 = _relax_and_sizes(inv, h, w, 1, cc_iters,
+                                 count_ref, lab_ref, sizes_ref)
     cleaned = jnp.logical_or(kept,
                              jnp.logical_and(inv, sizes2 < float(max_size)))
 
@@ -413,8 +413,8 @@ def binarize_fused_pallas(img_eq: jnp.ndarray, win: int = 25, k: float = 0.25,
     b = 1
     for d in lead:
         b *= d
-    nhi = -(-(h * w + 1) // 256)
-    nhi = -(-nhi // 8) * 8
+    from .pallas_cc import _rle_nhi, _RLE_LO
+    nhi = _rle_nhi(h, w)
     np_tiles = (h // patch) * (w // patch)
     npt = -(-np_tiles // 8) * 8
     kern = functools.partial(_binarize_fused_kernel, h=h, w=w, win=win, k=k,
@@ -428,7 +428,7 @@ def binarize_fused_pallas(img_eq: jnp.ndarray, win: int = 25, k: float = 0.25,
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nhi, 256), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32),
                         pltpu.VMEM((h, w), jnp.float32),
