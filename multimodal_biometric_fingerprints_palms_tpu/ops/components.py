@@ -313,8 +313,14 @@ def clean_mask(mask: jnp.ndarray, min_size: int, max_size: int,
 
 def largest_component(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     """Keep only the largest connected component
-    (reference keeps the largest contour, fingerprint_preprocess.py:112-116)."""
+    (reference keeps the largest contour, fingerprint_preprocess.py:112-116).
+    On TPU the labeling, size histogram, and winner compare run in one
+    VMEM-resident kernel; the XLA fallback's `component_sizes` one-hot
+    einsum materializes (B, H*W, hw/256) transients in HBM."""
     fg = mask.astype(bool)
+    if _use_pallas_cc():
+        from .pallas_cc import cc_filter_pallas
+        return cc_filter_pallas(fg, "largest", connectivity)
     label = connected_components(fg, connectivity)
     sizes = component_sizes(label, fg)
     best = jnp.argmax(sizes[..., :-1], axis=-1).astype(jnp.int32)

@@ -251,3 +251,26 @@ def reconstruction_by_dilation(marker: jnp.ndarray, mask: jnp.ndarray,
     first = jnp.minimum(_reduce_rect(marker, 3, lax.max), mask)
     out, _, _ = lax.while_loop(cond, body, (first, marker, jnp.int32(1)))
     return out
+
+
+def binary_close_open_packed(mask: jnp.ndarray, size: int,
+                             shape: str = "ellipse") -> jnp.ndarray:
+    """closing(size) then opening(size) on (..., H, W) binary masks with
+    32 masks bit-packed per int32 plane (ops/pallas_bitpack.py).
+
+    Binary dilate/erode are OR/AND over SE offsets, so the run-decomposed
+    reduce runs unchanged on packed planes with bitwise ops — every pass
+    touches 1/32nd of the data of the f32 form. Zero pad fill matches
+    `binary_erode`'s background border."""
+    from .pallas_bitpack import pack_bits, unpack_bits
+    se = np.ones((size, size), bool) if shape == "rect" else ellipse_se(size)
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    flat = mask.reshape((-1, h, w))
+    b = flat.shape[0]
+    p = pack_bits(flat)
+    p = _se_run_reduce(p, se, jnp.bitwise_or, 0)    # dilate
+    p = _se_run_reduce(p, se, jnp.bitwise_and, 0)   # erode  -> closing
+    p = _se_run_reduce(p, se, jnp.bitwise_and, 0)   # erode
+    p = _se_run_reduce(p, se, jnp.bitwise_or, 0)    # dilate -> opening
+    return unpack_bits(p, b).reshape(lead + (h, w))

@@ -508,169 +508,3 @@ def binary_reconstruct_pallas(marker: jnp.ndarray, mask: jnp.ndarray,
     )(marker.reshape(b, h, w).astype(jnp.float32),
       mask.reshape(b, h, w).astype(jnp.float32))
     return (out > 0.5).reshape(mask.shape)
-
-
-# ---------------------------------------------------------------------------
-# Zhang-Suen skeletonization, VMEM-resident.
-#
-# Same algorithm as ops.skeleton.skeletonize (two-subiteration thinning in a
-# bounded while_loop) but the whole relaxation runs on one in-VMEM image —
-# the XLA form round-trips ~12 (B, H, W) arrays through HBM per subpass.
-# Values are f32 0/1 (int vectors hit Mosaic gaps; f32 is exact here).
-# ---------------------------------------------------------------------------
-
-
-def _zs_ring(img):
-    """8-neighborhood [P2..P9] (N, NE, E, SE, S, SW, W, NW), zero border."""
-    def at(dy, dx):
-        v = img
-        if dy != 0:
-            v = _shift_no_wrap(v, -dy, 0, 0.0)
-        if dx != 0:
-            v = _shift_no_wrap(v, -dx, 1, 0.0)
-        return v
-    # P2..P9: N, NE, E, SE, S, SW, W, NW relative to center
-    return [at(-1, 0), at(-1, 1), at(0, 1), at(1, 1),
-            at(1, 0), at(1, -1), at(0, -1), at(-1, -1)]
-
-
-def _zs_subpass(img, first: bool):
-    p = _zs_ring(img)
-    p2, p3, p4, p5, p6, p7, p8, p9 = p
-    b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
-    ring = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
-    a = jnp.zeros_like(img)
-    for i in range(8):
-        a = a + jnp.logical_and(ring[i] < 0.5, ring[i + 1] > 0.5).astype(
-            jnp.float32)
-    if first:
-        c1 = p2 * p4 * p6 < 0.5
-        c2 = p4 * p6 * p8 < 0.5
-    else:
-        c1 = p2 * p4 * p8 < 0.5
-        c2 = p2 * p6 * p8 < 0.5
-    remove = ((img > 0.5)
-              & (b >= 1.5) & (b <= 6.5)
-              & (a > 0.5) & (a < 1.5)
-              & c1 & c2)
-    return jnp.where(remove, 0.0, img)
-
-
-def _thin_fused_kernel(bin_ref, rel_ref, out_ref, count_ref, lab_ref,
-                       sizes_ref, *, h: int, w: int, min_size: int,
-                       max_size: int, rel_thresh: float, cc_iters: int,
-                       zs_iters: int):
-    """clean_mask(min,max) -> reliability gate -> Zhang-Suen -> prune, all
-    VMEM-resident (the thin stage of fingerprint_preprocess.py:161-177 as
-    one kernel — the XLA composition round-trips every intermediate
-    through HBM)."""
-    fg = bin_ref[0] > 0.5
-    _, sizes = _relax_and_sizes(fg, h, w, 1, cc_iters,
-                                count_ref, lab_ref, sizes_ref)
-    kept = jnp.logical_and(fg, sizes >= float(min_size))
-    inv = jnp.logical_not(kept)
-    _, sizes2 = _relax_and_sizes(inv, h, w, 1, cc_iters,
-                                 count_ref, lab_ref, sizes_ref)
-    cleaned = jnp.logical_or(kept,
-                             jnp.logical_and(inv, sizes2 < float(max_size)))
-
-    m = jnp.logical_and(cleaned, rel_ref[0] > rel_thresh)
-    img0 = m.astype(jnp.float32)
-
-    def cond(state):
-        img, prev, i = state
-        return jnp.logical_and(i < zs_iters, jnp.any(img != prev))
-
-    def body(state):
-        img, _, i = state
-        new = _zs_subpass(img, True)
-        new = _zs_subpass(new, False)
-        return new, img, i + 1
-
-    first = _zs_subpass(_zs_subpass(img0, True), False)
-    img, _, _ = lax.while_loop(cond, body, (first, img0, jnp.int32(1)))
-
-    # prune isolated tips: keep pixels with at least one 8-neighbor
-    nc = jnp.zeros_like(img)
-    for p in _zs_ring(img):
-        nc = nc + p
-    out_ref[0] = jnp.where(nc >= 1.0, img, 0.0)
-
-
-def thin_fused_pallas(binary_smooth: jnp.ndarray, rel_smooth: jnp.ndarray,
-                      min_size: int = 64, max_size: int = 80,
-                      rel_thresh: float = 0.1, cc_iters: int = 512,
-                      zs_iters: int = 128,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Fused thinning_and_cleaning core (enhance.thinning_and_cleaning):
-    takes the smoothed binary and the ALREADY-BLURRED reliability map."""
-    lead = binary_smooth.shape[:-2]
-    h, w = binary_smooth.shape[-2:]
-    assert h % 8 == 0, h
-    b = 1
-    for d in lead:
-        b *= d
-    nhi = _rle_nhi(h, w)
-    kern = functools.partial(_thin_fused_kernel, h=h, w=w,
-                             min_size=min_size, max_size=max_size,
-                             rel_thresh=rel_thresh, cc_iters=cc_iters,
-                             zs_iters=zs_iters)
-    out = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.float32)],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
-    )(binary_smooth.reshape(b, h, w).astype(jnp.float32),
-      rel_smooth.reshape(b, h, w).astype(jnp.float32))
-    return (out > 0.5).reshape(binary_smooth.shape)
-
-
-def _skeleton_kernel(mask_ref, out_ref, *, max_iters: int):
-    img0 = (mask_ref[0] > 0.5).astype(jnp.float32)
-
-    def cond(state):
-        img, prev, i = state
-        return jnp.logical_and(i < max_iters, jnp.any(img != prev))
-
-    def body(state):
-        img, _, i = state
-        new = _zs_subpass(img, True)
-        new = _zs_subpass(new, False)
-        return new, img, i + 1
-
-    first = _zs_subpass(_zs_subpass(img0, True), False)
-    img, _, _ = lax.while_loop(cond, body, (first, img0, jnp.int32(1)))
-    out_ref[0] = img
-
-
-def skeletonize_pallas(mask: jnp.ndarray, max_iters: int = 128,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Zhang-Suen thinning (ops.skeleton.skeletonize semantics) with the
-    whole while_loop VMEM-resident; one grid element = one image."""
-    lead = mask.shape[:-2]
-    h, w = mask.shape[-2:]
-    b = 1
-    for d in lead:
-        b *= d
-    flat = mask.reshape(b, h, w).astype(jnp.float32)
-    kern = functools.partial(_skeleton_kernel, max_iters=max_iters)
-    out = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        interpret=interpret,
-    )(flat)
-    return (out > 0.5).reshape(mask.shape)

@@ -65,11 +65,12 @@ def _zhang_suen_subpass(img: jnp.ndarray, first: bool) -> jnp.ndarray:
 
 def skeletonize(mask: jnp.ndarray, max_iters: int = 128) -> jnp.ndarray:
     """Zhang-Suen thinning to a 1-px-wide skeleton. mask: boolean (..., H, W).
-    On TPU the whole relaxation runs in a VMEM-resident Pallas kernel."""
+    On TPU the whole relaxation runs bit-packed in a VMEM-resident Pallas
+    kernel, 32 images per int32 plane (ops/pallas_bitpack.py)."""
     import jax as _jax
     if _jax.default_backend() == "tpu":
-        from .pallas_cc import skeletonize_pallas
-        return skeletonize_pallas(mask, max_iters)
+        from .pallas_bitpack import zs_thin_bitpacked
+        return zs_thin_bitpacked(mask, max_iters)
     img0 = lax.optimization_barrier(mask.astype(jnp.int32))
 
     def cond(state):

@@ -107,8 +107,10 @@ def segment_fingerprint(img: jnp.ndarray, hull_directions: int = 90
     flip = (mean_fg > mean_bg)[..., None, None]
     mask = jnp.where(flip, jnp.logical_not(mask), mask)
 
-    m = binary_closing(mask, 15, shape="ellipse")
-    m = binary_opening(m, 15, shape="ellipse")
+    # closing+opening bit-packed 32 masks/plane (exact, pure XLA; identical
+    # to binary_closing + binary_opening at 1/32nd the data touched)
+    from ..ops.morphology import binary_close_open_packed
+    m = binary_close_open_packed(mask, 15, shape="ellipse")
     m = largest_component(m)
     hull = convex_hull_mask(m, n_directions=hull_directions)
     # Empty mask -> all-ones (reference :113-118).
@@ -197,13 +199,18 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
                           use_pallas: bool | None = None) -> jnp.ndarray:
     """Reliability-gated skeletonization (fingerprint_preprocess.py:161-177):
     small-object/hole cleanup → mask by smoothed reliability → thin →
-    prune isolated tips. On TPU the whole stage is one VMEM-resident fused
-    kernel (`pallas_cc.thin_fused_pallas`)."""
+    prune isolated tips. On TPU the cleanup runs as the fused CC kernel and
+    the Zhang-Suen while_loop runs bit-packed, 32 images per int32 plane
+    (`pallas_bitpack.zs_thin_bitpacked`) — an order of magnitude fewer VPU
+    ops than per-image f32 thinning."""
     rel_smooth = gaussian_blur(reliability, 2.0)
     if _auto_pallas(use_pallas):
-        from ..ops.pallas_cc import thin_fused_pallas
-        return thin_fused_pallas(binary_smooth, rel_smooth,
-                                 rel_thresh=rel_thresh)
+        from ..ops.pallas_cc import cc_filter_pallas
+        from ..ops.pallas_bitpack import zs_thin_bitpacked
+        cleaned = cc_filter_pallas(binary_smooth, "clean", connectivity=1,
+                                   min_size=64, max_size=80)
+        gated = jnp.logical_and(cleaned, rel_smooth > rel_thresh)
+        return zs_thin_bitpacked(gated, prune=True)
     mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
     mask = jnp.logical_and(mask, rel_smooth > rel_thresh)
     skel = skeletonize(mask)

@@ -109,3 +109,16 @@ def test_neighbor_count():
     nc = np.asarray(neighbor_count(jnp.asarray(x)))
     assert nc[4, 4] == 2.0
     assert nc[4, 3] == 1.0
+
+
+def test_binary_close_open_packed_matches_f32():
+    from multimodal_biometric_fingerprints_palms_tpu.ops.morphology import (
+        binary_close_open_packed, binary_closing, binary_opening,
+    )
+    rng = np.random.default_rng(7)
+    base = rng.random((3, 48, 128))
+    mask = jnp.asarray((base + np.roll(base, 2, -1) + np.roll(base, 2, -2)) > 1.6)
+    got = np.asarray(binary_close_open_packed(mask, 15, shape="ellipse"))
+    ref = np.asarray(binary_opening(binary_closing(mask, 15, "ellipse"),
+                                    15, "ellipse"))
+    np.testing.assert_array_equal(got, ref)

@@ -139,11 +139,15 @@ def test_binary_reconstruct_pallas_matches_xla(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
-def test_thin_fused_pallas_matches_xla(rng):
-    """Fused clean+gate+ZS+prune kernel == the XLA composition."""
+def test_thin_stage_bitpacked_matches_xla(rng):
+    """clean (fused CC kernel) + gate + bit-packed ZS+prune == the XLA
+    composition used by enhance.thinning_and_cleaning's fallback path."""
     import jax.numpy as jnp
     from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
-        thin_fused_pallas,
+        cc_filter_pallas,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_bitpack import (
+        zs_thin_bitpacked,
     )
     from multimodal_biometric_fingerprints_palms_tpu.ops.components import clean_mask
     from multimodal_biometric_fingerprints_palms_tpu.ops.skeleton import (
@@ -153,9 +157,30 @@ def test_thin_fused_pallas_matches_xla(rng):
     base = rng.random((1, 32, 128))
     mask = jnp.asarray((base + np.roll(base, 1, -1) + np.roll(base, 1, -2)) > 1.4)
     rel = jnp.asarray(rng.random((1, 32, 128)).astype(np.float32))
-    ours = np.asarray(thin_fused_pallas(mask, rel, min_size=10, max_size=20,
-                                        interpret=True))
+    cleaned = cc_filter_pallas(mask, "clean", connectivity=1,
+                               min_size=10, max_size=20, interpret=True)
+    gated = jnp.logical_and(cleaned, rel > 0.1)
+    ours = np.asarray(zs_thin_bitpacked(gated, prune=True, interpret=True))
     m = clean_mask(mask, 10, 20, connectivity=1)
     m = jnp.logical_and(m, rel > 0.1)
     ref = np.asarray(prune_isolated(skeletonize(m)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_bitpack_roundtrip_and_multi_plane(rng):
+    """pack/unpack roundtrip, and a >32-image batch exercising 2 planes."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_bitpack import (
+        pack_bits, unpack_bits, zs_thin_bitpacked,
+    )
+    from multimodal_biometric_fingerprints_palms_tpu.ops.skeleton import (
+        skeletonize,
+    )
+    m = jnp.asarray(rng.random((37, 16, 128)) > 0.5)
+    assert bool(jnp.all(unpack_bits(pack_bits(m), 37) == m))
+    # cross-plane parity on a small structured batch
+    base = rng.random((34, 16, 128))
+    masks = jnp.asarray((base + np.roll(base, 1, -1)) > 1.0)
+    ours = np.asarray(zs_thin_bitpacked(masks, max_iters=16, interpret=True))
+    ref = np.asarray(skeletonize(masks, max_iters=16))
     np.testing.assert_array_equal(ours, ref)

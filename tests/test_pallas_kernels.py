@@ -84,9 +84,9 @@ def test_cc_filter_pallas_modes(rng):
         C.set_cc_impl(old)
 
 
-def test_skeletonize_pallas_matches_xla(rng):
-    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
-        skeletonize_pallas,
+def test_skeletonize_bitpacked_matches_xla(rng):
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_bitpack import (
+        zs_thin_bitpacked,
     )
     from multimodal_biometric_fingerprints_palms_tpu.ops.skeleton import (
         skeletonize,
@@ -96,7 +96,7 @@ def test_skeletonize_pallas_matches_xla(rng):
     ridge = (np.cos(np.sqrt((yy - 16) ** 2 + (xx - 32) ** 2) / 3.0) > -0.2) \
         & (((yy - 16) / 14.0) ** 2 + ((xx - 32) / 30.0) ** 2 < 1)
     x = jnp.asarray(ridge[None])
-    a = np.asarray(skeletonize_pallas(x, interpret=True))
+    a = np.asarray(zs_thin_bitpacked(x, interpret=True))
     b = np.asarray(skeletonize(x))
     np.testing.assert_array_equal(a, b)
 
