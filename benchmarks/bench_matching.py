@@ -8,7 +8,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Bootstrap the repo root WITHOUT PYTHONPATH: setting PYTHONPATH (to any
+# value) prevents the axon TPU plugin from registering in this environment.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -147,7 +147,6 @@ def shard_pairs_scores(gallery: MinutiaeSet, pairs, mesh: Mesh,
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    matcher = _batch_matcher(use_pallas)
 
     pairs = np.asarray(pairs, np.int32)
     p_total = pairs.shape[0]
@@ -157,8 +156,20 @@ def shard_pairs_scores(gallery: MinutiaeSet, pairs, mesh: Mesh,
     if pad:
         pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
 
+    fn = _pairs_scores_jit(mesh, axis_name, params, chunk, use_pallas)
+    s, n = fn(jnp.asarray(pairs), gallery)
+    return np.asarray(s)[:p_total], np.asarray(n)[:p_total]
+
+
+@functools.lru_cache(maxsize=32)
+def _pairs_scores_jit(mesh: Mesh, axis_name: str, params: MatchParams,
+                      chunk: int, use_pallas: bool):
+    """Cached jitted program for `shard_pairs_scores`: rebuilding
+    jax.jit(shard_map(...)) per call retraces the whole chunked-matcher
+    graph every invocation (hundreds of ms of host time per call)."""
+    matcher = _batch_matcher(use_pallas)
     spec = P(axis_name)
-    rep = jax.tree.map(lambda _: P(), gallery)
+    rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
 
     def device_fn(local_pairs, g: MinutiaeSet):
         chunks = local_pairs.reshape(-1, chunk, 2)
@@ -172,14 +183,12 @@ def shard_pairs_scores(gallery: MinutiaeSet, pairs, mesh: Mesh,
         s, n = lax.map(one, chunks)
         return s.reshape(-1), n.reshape(-1)
 
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         device_fn, mesh=mesh,
         in_specs=(spec, rep),
         out_specs=(spec, spec),
         check_rep=False,
     ))
-    s, n = fn(jnp.asarray(pairs), gallery)
-    return np.asarray(s)[:p_total], np.asarray(n)[:p_total]
 
 
 def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
@@ -202,8 +211,18 @@ def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
     if pad:
         pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
 
+    fn = _pairs_screen_jit(mesh, axis_name, params, chunk, use_pallas)
+    out = fn(jnp.asarray(pairs), gallery)
+    return np.asarray(out)[:p_total]
+
+
+@functools.lru_cache(maxsize=32)
+def _pairs_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
+                      chunk: int, use_pallas: bool):
+    """Cached jitted program for `shard_pairs_screen` (see
+    `_pairs_scores_jit` for why)."""
     spec = P(axis_name)
-    rep = jax.tree.map(lambda _: P(), gallery)
+    rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
 
     if use_pallas:
         from ..matching.pallas_match import screen_pairs_batch_pallas
@@ -225,14 +244,12 @@ def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
 
         return lax.map(one, chunks).reshape(-1)
 
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         device_fn, mesh=mesh,
         in_specs=(spec, rep),
         out_specs=spec,
         check_rep=False,
     ))
-    out = fn(jnp.asarray(pairs), gallery)
-    return np.asarray(out)[:p_total]
 
 
 def unique_pairs(n: int) -> np.ndarray:
