@@ -145,6 +145,40 @@ def bench_identify(iters: int, n_users: int = 148, samples: int = 10,
     }))
 
 
+def bench_identify_batch(iters: int, n_users: int = 148, samples: int = 10,
+                         p_num: int = 64, chunk: int = 512):
+    """Batched 1:N identification: P probes x sharded N gallery in one
+    dispatch (the realistic identification workload)."""
+    from multimodal_biometric_fingerprints_palms_tpu.parallel import (
+        create_mesh, pad_gallery, shard_gallery)
+    from multimodal_biometric_fingerprints_palms_tpu.parallel.gallery import (
+        identify_batch)
+
+    mesh = create_mesh(len(jax.devices()))
+    gallery = pad_gallery(synth_users_gallery(n_users, samples), chunk)
+    n = gallery.valid.shape[0]
+    sharded = shard_gallery(gallery, mesh)
+    probes = jax.tree.map(lambda x: x[:p_num], gallery)
+    p = MatchParams(ransac_iter=iters)
+
+    s = identify_batch(probes, sharded, mesh, p, chunk=chunk)
+    top = np.argmax(np.asarray(s), axis=1)
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [identify_batch(probes, sharded, mesh, p, chunk=chunk)
+            for _ in range(reps)]
+    float(jnp.sum(outs[-1]))
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": f"batched 1:N identify, P={p_num}, N={n} (iters={iters}, "
+                  f"{len(jax.devices())} dev)",
+        "value": round(dt * 1000 / p_num, 2),
+        "unit": "ms/probe",
+        "batch_ms": round(dt * 1000, 1),
+        "top_correct": int((top == np.arange(p_num)).sum()),
+    }))
+
+
 def _setup_cache():
     """Persistent compilation cache: Mosaic/XLA compiles of the big kernels
     are minutes through the remote compile helper; cache them across runs."""
@@ -160,6 +194,7 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--allpairs", action="store_true")
     ap.add_argument("--identify", action="store_true")
+    ap.add_argument("--identify-batch", action="store_true")
     ap.add_argument("--no-cascade", action="store_true")
     args = ap.parse_args()
 
@@ -169,18 +204,27 @@ def main():
     if args.identify:
         bench_identify(args.iters)
         return
+    if args.identify_batch:
+        bench_identify_batch(args.iters)
+        return
 
     p = MatchParams(ransac_iter=args.iters)
     a = synth_gallery(args.pairs, seed=0)
     b = synth_gallery(args.pairs, seed=1)
 
+    # production matcher (grouped Pallas kernel on TPU), jitted once
+    from multimodal_biometric_fingerprints_palms_tpu.parallel.gallery import (
+        _batch_matcher)
+    matcher = jax.jit(lambda x, y: _batch_matcher(
+        jax.default_backend() == "tpu")(x, y, p).final_score)
+
     # value round-trip per rep: block_until_ready is async on the axon relay
-    float(match_pairs_batch(a, b, p).final_score.sum())
+    float(matcher(a, b).sum())
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        float(match_pairs_batch(a, b, p).final_score.sum())
+        float(matcher(a, b).sum())
     dt = (time.perf_counter() - t0) / reps
 
     pairs_per_sec = args.pairs / dt

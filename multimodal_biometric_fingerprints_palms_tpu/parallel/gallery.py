@@ -258,6 +258,91 @@ def unique_pairs(n: int) -> np.ndarray:
     return np.stack(iu, axis=1).astype(np.int32)
 
 
+def shard_blocks_screen(gallery: MinutiaeSet, mesh: Mesh,
+                        params: MatchParams,
+                        axis_name: str = "gallery",
+                        block: int = 64,
+                        use_pallas: bool | None = None):
+    """Cascade screen over ALL unique pairs in (block x block) template
+    tiles: each device dynamic-slices two ``block``-template rows out of
+    the replicated gallery and screens their full cross product — no
+    per-pair one-hot template fetch (the pair-list path's fetch cost grows
+    with N*chunk; the blocked path's is flat in N).
+
+    Returns (block_pairs (NBP, 2), mask (NBP, block*block)): mask[r, k]
+    promotes global pair (bi*block + k//block, bj*block + k%block)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    gpad = pad_gallery(gallery, block)
+    npad = gpad.valid.shape[0]
+    nb = npad // block
+    bi, bj = np.triu_indices(nb, k=0)
+    bp = np.stack([bi, bj], axis=1).astype(np.int32)
+    nbp = bp.shape[0]
+    n_dev = mesh.devices.size
+    per_dev = -(-nbp // n_dev)
+    pad = n_dev * per_dev - nbp
+    if pad:
+        bp = np.concatenate([bp, np.tile(bp[-1:], (pad, 1))])
+    fn = _blocks_screen_jit(mesh, axis_name, params, block, use_pallas)
+    mask = np.asarray(fn(jnp.asarray(bp), gpad))[:nbp]
+    return bp[:nbp], mask
+
+
+@functools.lru_cache(maxsize=32)
+def _blocks_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
+                       block: int, use_pallas: bool):
+    spec = P(axis_name)
+    rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
+
+    if use_pallas:
+        from ..matching.pallas_match import screen_pairs_batch_pallas
+
+        def screen(a, b):
+            return screen_pairs_batch_pallas(a, b, params)
+    else:
+        def screen(a, b):
+            r = match_pairs_batch(a, b, params)
+            return (r.final_score > 0.0) | (r.n_inliers > 0)
+
+    # The block cross product is screened in standard 512-pair chunks
+    # (block*block = 4096 pairs as one matcher batch made the CPU-mesh
+    # XLA compile explode; 512 also matches the shape every other call
+    # site compiles).
+    inner = min(512, block * block)
+    rows = inner // block                       # a-rows per inner chunk
+
+    def device_fn(local_bp, g: MinutiaeSet):
+        def one(c):
+            blk_a = jax.tree.map(
+                lambda x: lax.dynamic_slice_in_dim(x, c[0] * block, block, 0),
+                g)
+            blk_b = jax.tree.map(
+                lambda x: lax.dynamic_slice_in_dim(x, c[1] * block, block, 0),
+                g)
+            b = jax.tree.map(
+                lambda x: jnp.tile(x, (rows,) + (1,) * (x.ndim - 1)), blk_b)
+
+            def sub(r0):
+                a = jax.tree.map(
+                    lambda x: jnp.repeat(
+                        lax.dynamic_slice_in_dim(x, r0 * rows, rows, 0),
+                        block, axis=0), blk_a)
+                return screen(a, b)
+
+            parts = lax.map(sub, jnp.arange(block // rows))
+            return parts.reshape(block * block)
+
+        return lax.map(one, local_bp)
+
+    return jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(spec, rep),
+        out_specs=spec,
+        check_rep=False,
+    ))
+
+
 def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
                      params: MatchParams = MatchParams(),
                      axis_name: str = "gallery",
@@ -283,14 +368,23 @@ def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
         ransac_iter=screen_iters,
         full_iters=params.ransac_iter,
         min_inliers=max(3, params.min_inliers - 2))
-    promising = shard_pairs_screen(gallery, pairs, mesh, screen_p,
-                                   axis_name, chunk, use_pallas)
+    block = 64
+    bp, mask = shard_blocks_screen(gallery, mesh, screen_p, axis_name,
+                                   block, use_pallas)
+    # Map promoted (block-pair, local-k) entries back to unique-pair slots:
+    # a-side is repeat-major, b-side tile-minor, so k = i_local*B + j_local.
+    il, jl = np.divmod(np.arange(block * block), block)
+    gi = bp[:, :1] * block + il[None, :]
+    gj = bp[:, 1:] * block + jl[None, :]
+    keep = mask & (gi < gj) & (gj < n)
+    ii, jj = gi[keep].astype(np.int64), gj[keep].astype(np.int64)
     out = np.zeros(pairs.shape[0], np.float64)
-    idx = np.nonzero(promising)[0]
-    if idx.size:
-        s1, _ = shard_pairs_scores(gallery, pairs[idx], mesh, params,
-                                   axis_name, chunk, use_pallas)
-        out[idx] = s1
+    if ii.size:
+        pos = ii * (2 * n - ii - 1) // 2 + (jj - ii - 1)
+        s1, _ = shard_pairs_scores(
+            gallery, np.stack([ii, jj], axis=1).astype(np.int32), mesh,
+            params, axis_name, chunk, use_pallas)
+        out[pos] = s1
     return out
 
 
