@@ -114,6 +114,178 @@ def _zs_bit_subpass(img, first: bool):
     return img & ~remove
 
 
+def _seg_spread_dir(o, g, shift_sign: int, axis: int, length: int):
+    """Packed segmented OR 'spread' along one direction: after the log
+    doubling, bit b of o at position i = OR of the initial o bits over the
+    maximal transparent run ending at i (directionally). (o, g) is the
+    standard segmented-scan carry — g bit = 'window fully transparent' —
+    so opaque pixels block propagation exactly like the int32 keyed min
+    scans in pallas_cc, but on 32 images per plane."""
+    s = 1
+    while s < length:
+        o = o | (_shift_no_wrap_i(o, shift_sign * s, axis, 0) & g)
+        g = g & _shift_no_wrap_i(g, shift_sign * s, axis, 0)
+        s *= 2
+    return o
+
+
+def _spread_sweep(v, t, h: int, w: int, connectivity: int):
+    """One reachability sweep: sequential fwd/bwd row scans then fwd/bwd
+    column scans (each direction sees the previous one's result, like
+    pallas_cc._label_relax's dir_pass composition), plus diagonal hops for
+    8-connectivity. Edge-adjacent hops are subsumed by the scans."""
+    v = _seg_spread_dir(v, t, 1, 1, w)
+    v = _seg_spread_dir(v, t, -1, 1, w)
+    v = _seg_spread_dir(v, t, 1, 0, h)
+    v = _seg_spread_dir(v, t, -1, 0, h)
+    if connectivity == 2:
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            v = v | (t & _shift_no_wrap_i(
+                _shift_no_wrap_i(v, -dy, 0, 0), -dx, 1, 0))
+    return v
+
+
+def _reach_fixpoint(seed, t, h: int, w: int, connectivity: int,
+                    max_iters: int):
+    """Iterate _spread_sweep to the joint fixpoint of the 32 packed images:
+    bit b of the result = pixel reachable from seed within transparent,
+    for image b. Two sweeps per loop iteration (halves the convergence
+    reduces, at most one wasted sweep)."""
+    v0 = seed & t
+
+    def cond(state):
+        v, prev, i = state
+        return jnp.logical_and(i < max_iters, jnp.any(v != prev))
+
+    def body(state):
+        v, _, i = state
+        nxt = _spread_sweep(_spread_sweep(v, t, h, w, connectivity),
+                            t, h, w, connectivity)
+        return nxt, v, i + 2
+
+    first = _spread_sweep(v0, t, h, w, connectivity)
+    v, _, _ = lax.while_loop(cond, body, (first, v0, jnp.int32(1)))
+    return v
+
+
+def _reach_kernel(t_ref, s_ref, s1_ref, r_ref, r1_ref, *, h: int, w: int,
+                  connectivity: int, max_iters: int):
+    t = t_ref[0]
+    r_ref[0] = _reach_fixpoint(s_ref[0], t, h, w, connectivity, max_iters)
+    r1_ref[0] = _reach_fixpoint(s1_ref[0], t, h, w, connectivity, max_iters)
+
+
+def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
+                        max_iters: int = 512, interpret: bool = False):
+    """Border reachability on (..., H, W) boolean masks, 32 images per
+    int32 plane.
+
+    Returns (reach, reach1): pixels of `transparent` connected to ANY
+    border pixel of it (= the union of the border-touching components),
+    and pixels connected to the single canonical border pixel (minimum
+    linear index). `reach == reach1` iff at most one component touches the
+    border — the cheap exactness test pallas_cc.clean_mask_split uses to
+    decide whether small-hole filtering may skip labeling the (slowly
+    converging) border-connected background. Each sweep costs ~4 segmented
+    OR scans on ONE plane for 32 images, ~32x less data than the int32
+    keyed label relax it replaces."""
+    lead = transparent.shape[:-2]
+    h, w = transparent.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    t = transparent.reshape(b, h, w)
+
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
+    seeds = jnp.logical_and(t, border)
+    lin = rows * w + cols
+    cand = jnp.where(seeds, lin, jnp.int32(h * w))
+    first = jnp.min(cand, axis=(-2, -1), keepdims=True)
+    seed1 = jnp.logical_and(seeds, lin == first)
+
+    tp = pack_bits(t)
+    sp = pack_bits(seeds)
+    s1p = pack_bits(seed1)
+    nb = tp.shape[0]
+    kern = functools.partial(_reach_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    r, r1 = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((nb, h, w), jnp.int32),
+                   jax.ShapeDtypeStruct((nb, h, w), jnp.int32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(tp, sp, s1p)
+    return (unpack_bits(r, b).reshape(transparent.shape),
+            unpack_bits(r1, b).reshape(transparent.shape))
+
+
+def _cross_and(v):
+    out = v
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        out = out & _shift_no_wrap_i(
+            _shift_no_wrap_i(v, -dy, 0, 0), -dx, 1, 0)
+    return out
+
+
+def _cross_or(v):
+    out = v
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        out = out | _shift_no_wrap_i(
+            _shift_no_wrap_i(v, -dy, 0, 0), -dx, 1, 0)
+    return out
+
+
+def _open_erode_reconstruct_kernel(in_ref, out_ref, *, h: int, w: int,
+                                   max_iters: int):
+    """3x3-cross open -> 3x3-cross erode marker -> geodesic reconstruction
+    (the binarize tail, fingerprint_preprocess.py:76-81) as pure bitwise
+    packed ops: binary erosion = AND of shifted planes, dilation = OR,
+    reconstruction = packed reachability from the marker (conn 2)."""
+    v = in_ref[0]
+    er = _cross_and(v)
+    opened = _cross_or(er)
+    marker = _cross_and(opened)
+    out_ref[0] = _reach_fixpoint(marker, opened, h, w, 2, max_iters)
+
+
+def open_erode_reconstruct_packed(mask: jnp.ndarray, max_iters: int = 512,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """enhance.binarize's tail (3x3 ellipse open + erode marker + binary
+    reconstruction by dilation) over (..., H, W) boolean masks, 32 images
+    per int32 plane."""
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    planes = pack_bits(mask.reshape(b, h, w))
+    nb = planes.shape[0]
+    kern = functools.partial(_open_erode_reconstruct_kernel, h=h, w=w,
+                             max_iters=max_iters)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nb, h, w), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(planes)
+    return unpack_bits(out, b).reshape(mask.shape)
+
+
 def _zs_bit_kernel(in_ref, out_ref, *, max_iters: int, prune: bool):
     img0 = in_ref[0]
 

@@ -269,92 +269,14 @@ def _binarize_fused_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
     reconstruction as marker reachability."""
     from .pallas_cc import _label_relax, _relax_and_sizes
 
-    x = img_ref[0]                                            # (h, w) [0,1]
     f32 = jnp.float32
-
-    # --- adaptive Sauvola (fingerprint_preprocess.py:49-57) ---
-    n = float(win * win)
-    mean = _box_sum_same(x, win) / n
-    sqmean = _box_sum_same(x * x, win) / n
-    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
-    std_n = std / (jnp.max(std) + 1e-6)
-    k_map = k * (1.0 - 0.5 * std_n)
-    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
-    binary = (x < sauv).astype(f32)
-
-    # --- per-patch Otsu OR-refinement (:60-71) ---
-    gh, gw = h // patch, w // patch
-    np_tiles = gh * gw
-    bins_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(f32)
-    col_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 1)
-    q_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 0)
-    selp = (q_iota == col_iota // patch).astype(jnp.bfloat16)  # (gw, w)
-
-    hist_ref[:] = jnp.zeros_like(hist_ref)
-
-    def hist_chunk(c, _):
-        rows = jnp.clip(jnp.round(img_ref[0, pl.ds(c * 8, 8), :] * 255.0),
-                        0.0, 255.0)
-        ty = (c * 8) // patch
-        sumoh = jnp.zeros((256, w), jnp.bfloat16)
-        for kk in range(8):
-            sumoh = sumoh + (bins_iota == rows[kk:kk + 1, :]).astype(
-                jnp.bfloat16)
-        band = lax.dot_general(selp, sumoh, (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)     # (gw, 256)
-        hist_ref[pl.ds(ty * gw, gw), :] = (
-            hist_ref[pl.ds(ty * gw, gw), :] + band)
-        return _
-
-    lax.fori_loop(0, h // 8, hist_chunk, None)
-
-    # Otsu per patch + patch mean/std from the same histograms.
-    hist = hist_ref[:]                                         # (np, 256)
-    area = float(patch * patch)
-    p = hist / area
-    bins_row = lax.broadcasted_iota(jnp.int32, (np_tiles, 256), 1).astype(f32)
-    r_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 0)
-    c_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 1)
-    up = (r_iota <= c_iota).astype(f32)
-    omega = lax.dot_general(p, up, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-    mu = lax.dot_general(p * bins_row, up, (((1,), (0,)), ((), ())),
-                         preferred_element_type=f32)
-    mu_t = mu[:, -1:]
-    denom = omega * (1.0 - omega)
-    sigma_b = jnp.where(denom > 1e-8,
-                        (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-8),
-                        0.0)
-    smax = jnp.max(sigma_b, axis=-1, keepdims=True)
-    first = jnp.min(jnp.where(sigma_b == smax, bins_row, 256.0), axis=-1,
-                    keepdims=True)
-    thr = first / 255.0                                        # (np, 1)
-    e1 = mu_t / 255.0                                          # E[x] in [0,1]
-    e2 = jnp.sum(p * (bins_row / 255.0) ** 2, axis=-1, keepdims=True)
-    p_std = jnp.sqrt(jnp.maximum(e2 - e1 * e1, 0.0))           # (np, 1)
-    refine_ok = (p_std >= 3.0 / 255.0).astype(f32)             # (np, 1)
-
-    # Stash (thr, ok) back into the hist scratch so band rows can be
-    # dynamically sliced (pl.ds needs a ref, and gw-row starts are aligned).
-    zpad = jnp.zeros((hist.shape[0], 254), f32)
-    hist_ref[:] = jnp.concatenate([thr, refine_ok, zpad], axis=1)
-
-    selp_f = selp.astype(f32)
-
-    def refine_chunk(c, _):
-        ty = (c * 8) // patch
-        band = hist_ref[pl.ds(ty * gw, gw), :]                 # (gw, 256)
-        thr_band = band[:, 0:1]
-        ok_band = band[:, 1:2]
-        thr_cols = jnp.sum(selp_f * thr_band, axis=0, keepdims=True)  # (1, w)
-        ok_cols = jnp.sum(selp_f * ok_band, axis=0, keepdims=True)
-        xr = img_ref[0, pl.ds(c * 8, 8), :]
-        ref_rows = ((xr < thr_cols) & (ok_cols > 0.5)).astype(f32)
-        bin2_ref[pl.ds(c * 8, 8), :] = ref_rows
-        return _
-
-    lax.fori_loop(0, h // 8, refine_chunk, None)
-    binary = jnp.maximum(binary, bin2_ref[:])
+    # --- adaptive Sauvola + per-patch Otsu OR-refinement
+    # (fingerprint_preprocess.py:49-71; helpers shared with the split
+    # variant below) ---
+    _binarize_front(img_ref, bin2_ref, hist_ref, h=h, w=w, win=win, k=k,
+                    patch=patch)
+    binary = jnp.maximum(_sauvola_front(img_ref, h=h, w=w, win=win, k=k),
+                         bin2_ref[:])
 
     # --- cleanup: remove_small_objects(min_size) + remove_small_holes ---
     fg = binary > 0.5
@@ -399,6 +321,209 @@ def _shift01(m, dy: int, dx: int, fill: float):
     if dx != 0:
         s = _shift_no_wrap(s, dx, 1, fill)
     return s
+
+
+def _binarize_phase1_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
+                            bin2_ref, hist_ref, *,
+                            h: int, w: int, win: int, k: float, patch: int,
+                            min_size: int, cc_iters: int):
+    """Sauvola + patch-Otsu + remove_small_objects: the binarize megakernel
+    up to (and including) the foreground size filter. The hole pass is
+    outside (see binarize_fused_split_pallas) so its border-connected
+    background — the slowest CC relaxation in the pipeline — can run
+    bit-packed 32 images per plane."""
+    from .pallas_cc import _relax_and_sizes
+    _binarize_front(img_ref, bin2_ref, hist_ref, h=h, w=w, win=win, k=k,
+                    patch=patch)
+    fg = jnp.maximum(_sauvola_front(img_ref, h=h, w=w, win=win, k=k),
+                     bin2_ref[:]) > 0.5
+    _, sizes = _relax_and_sizes(fg, h, w, 1, cc_iters,
+                                count_ref, lab_ref, sizes_ref)
+    out_ref[0] = jnp.logical_and(fg, sizes >= float(min_size)).astype(
+        jnp.float32)
+
+
+def _sauvola_front(img_ref, *, h: int, w: int, win: int, k: float):
+    x = img_ref[0]
+    n = float(win * win)
+    mean = _box_sum_same(x, win) / n
+    sqmean = _box_sum_same(x * x, win) / n
+    std = jnp.sqrt(jnp.clip(sqmean - mean * mean, 0.0, None))
+    std_n = std / (jnp.max(std) + 1e-6)
+    k_map = k * (1.0 - 0.5 * std_n)
+    sauv = mean * (1.0 - k_map * (1.0 - std / (mean + 1e-6)))
+    return (x < sauv).astype(jnp.float32)
+
+
+def _binarize_front(img_ref, bin2_ref, hist_ref, *, h: int, w: int,
+                    win: int, k: float, patch: int):
+    """Patch-Otsu OR-refinement rows into bin2_ref (shared by the fused and
+    the split binarize kernels)."""
+    f32 = jnp.float32
+    gh, gw = h // patch, w // patch
+    # The hist scratch is padded to a multiple of 8 rows; run the Otsu math
+    # on all padded rows (they are zero -> thr/ok land unused defaults).
+    np_tiles = hist_ref.shape[0]
+    bins_iota = lax.broadcasted_iota(jnp.int32, (256, w), 0).astype(f32)
+    col_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 1)
+    q_iota = lax.broadcasted_iota(jnp.int32, (gw, w), 0)
+    selp = (q_iota == col_iota // patch).astype(jnp.bfloat16)
+
+    hist_ref[:] = jnp.zeros_like(hist_ref)
+
+    def hist_chunk(c, _):
+        rows = jnp.clip(jnp.round(img_ref[0, pl.ds(c * 8, 8), :] * 255.0),
+                        0.0, 255.0)
+        ty = (c * 8) // patch
+        sumoh = jnp.zeros((256, w), jnp.bfloat16)
+        for kk in range(8):
+            sumoh = sumoh + (bins_iota == rows[kk:kk + 1, :]).astype(
+                jnp.bfloat16)
+        band = lax.dot_general(selp, sumoh, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+        hist_ref[pl.ds(ty * gw, gw), :] = (
+            hist_ref[pl.ds(ty * gw, gw), :] + band)
+        return _
+
+    lax.fori_loop(0, h // 8, hist_chunk, None)
+
+    hist = hist_ref[:]
+    area = float(patch * patch)
+    p = hist / area
+    bins_row = lax.broadcasted_iota(jnp.int32, (np_tiles, 256), 1).astype(f32)
+    r_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 0)
+    c_iota = lax.broadcasted_iota(jnp.int32, (256, 256), 1)
+    up = (r_iota <= c_iota).astype(f32)
+    omega = lax.dot_general(p, up, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    mu = lax.dot_general(p * bins_row, up, (((1,), (0,)), ((), ())),
+                         preferred_element_type=f32)
+    mu_t = mu[:, -1:]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 1e-8,
+                        (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-8),
+                        0.0)
+    smax = jnp.max(sigma_b, axis=-1, keepdims=True)
+    first = jnp.min(jnp.where(sigma_b == smax, bins_row, 256.0), axis=-1,
+                    keepdims=True)
+    thr = first / 255.0
+    e1 = mu_t / 255.0
+    e2 = jnp.sum(p * (bins_row / 255.0) ** 2, axis=-1, keepdims=True)
+    p_std = jnp.sqrt(jnp.maximum(e2 - e1 * e1, 0.0))
+    refine_ok = (p_std >= 3.0 / 255.0).astype(f32)
+
+    zpad = jnp.zeros((hist.shape[0], 254), f32)
+    hist_ref[:] = jnp.concatenate([thr, refine_ok, zpad], axis=1)
+
+    selp_f = selp.astype(f32)
+
+    def refine_chunk(c, _):
+        ty = (c * 8) // patch
+        band = hist_ref[pl.ds(ty * gw, gw), :]
+        thr_band = band[:, 0:1]
+        ok_band = band[:, 1:2]
+        thr_cols = jnp.sum(selp_f * thr_band, axis=0, keepdims=True)
+        ok_cols = jnp.sum(selp_f * ok_band, axis=0, keepdims=True)
+        xr = img_ref[0, pl.ds(c * 8, 8), :]
+        ref_rows = ((xr < thr_cols) & (ok_cols > 0.5)).astype(f32)
+        bin2_ref[pl.ds(c * 8, 8), :] = ref_rows
+        return _
+
+    lax.fori_loop(0, h // 8, refine_chunk, None)
+
+
+def _binarize_phase2_kernel(kept_ref, reach_ref, reach1_ref, out_ref,
+                            count_ref, lab_ref, sizes_ref, *,
+                            h: int, w: int, max_size: int, cc_iters: int):
+    """Hole fill (split exactness logic, see pallas_cc._fill_holes_split_
+    kernel). The open/erode/reconstruction tail runs bit-packed afterwards
+    (pallas_bitpack.open_erode_reconstruct_packed)."""
+    from .pallas_cc import _relax_and_sizes
+
+    kept = kept_ref[0] > 0.5
+    reach = reach_ref[0] > 0.5
+    reach1 = reach1_ref[0] > 0.5
+    inv = jnp.logical_not(kept)
+    multi = jnp.any(reach != reach1)
+    relax_mask = jnp.logical_and(inv, jnp.logical_or(multi, ~reach))
+    _, sizes2 = _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
+                                 count_ref, lab_ref, sizes_ref)
+    fill = jnp.logical_and(relax_mask, sizes2 < float(max_size))
+    npix = jnp.sum(reach.astype(jnp.float32))
+    border_small = jnp.logical_and(~multi, npix < float(max_size))
+    fill = jnp.logical_or(fill, jnp.logical_and(reach, border_small))
+    out_ref[0] = jnp.logical_or(kept, fill).astype(jnp.float32)
+
+
+def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
+                                k: float = 0.25, patch: int = 32,
+                                min_size: int = 80, max_size: int = 150,
+                                cc_iters: int = 512,
+                                interpret: bool = False) -> jnp.ndarray:
+    """enhance.binarize after CLAHE, same result as binarize_fused_pallas,
+    split around a bit-packed border-reachability pass: phase 1 (per image)
+    Sauvola+Otsu+small-object filter -> packed reach of the inverted mask
+    (32 images/plane; the border-connected valley background is the
+    pipeline's slowest relaxation) -> phase 2 (per image) interior-hole
+    fill -> packed open/erode/reconstruction tail (pure bitwise)."""
+    from .pallas_cc import _rle_nhi, _RLE_LO
+    from .pallas_bitpack import (border_reach_packed,
+                                 open_erode_reconstruct_packed)
+
+    lead = img_eq.shape[:-2]
+    h, w = img_eq.shape[-2:]
+    assert h % 8 == 0 and h % patch == 0 and w % patch == 0, (h, w)
+    b = 1
+    for d in lead:
+        b *= d
+    nhi = _rle_nhi(h, w)
+    np_tiles = (h // patch) * (w // patch)
+    npt = -(-np_tiles // 8) * 8
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    k1 = functools.partial(_binarize_phase1_kernel, h=h, w=w, win=win, k=k,
+                           patch=patch, min_size=min_size, cc_iters=cc_iters)
+    kept = pl.pallas_call(
+        k1,
+        grid=(b,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((npt, 256), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(img_eq.reshape(b, h, w).astype(jnp.float32))
+
+    reach, reach1 = border_reach_packed(kept < 0.5, connectivity=1,
+                                        max_iters=cc_iters,
+                                        interpret=interpret)
+
+    k2 = functools.partial(_binarize_phase2_kernel, h=h, w=w,
+                           max_size=max_size, cc_iters=cc_iters)
+    cleaned = pl.pallas_call(
+        k2,
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(kept,
+      reach.reshape(b, h, w).astype(jnp.float32),
+      reach1.reshape(b, h, w).astype(jnp.float32))
+    out = open_erode_reconstruct_packed(cleaned > 0.5, max_iters=cc_iters,
+                                        interpret=interpret)
+    return out.reshape(img_eq.shape)
 
 
 def binarize_fused_pallas(img_eq: jnp.ndarray, win: int = 25, k: float = 0.25,

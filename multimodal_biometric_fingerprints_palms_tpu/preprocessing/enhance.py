@@ -135,9 +135,12 @@ def binarize(img: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     if _auto_pallas(use_pallas):
         h, w = img_eq.shape[-2:]
         if h % 8 == 0 and h % 32 == 0 and w % 32 == 0:
-            # whole post-CLAHE stage as one VMEM kernel
-            from ..ops.pallas_kernels import binarize_fused_pallas
-            return binarize_fused_pallas(img_eq, win, k)
+            # post-CLAHE stage as fused VMEM kernels, split around a
+            # bit-packed border-reachability pass (32 images per int32
+            # plane) so the valley background's slow CC relaxation — mean
+            # 27/max 58 sweeps — runs at 1/32nd the data volume.
+            from ..ops.pallas_kernels import binarize_fused_split_pallas
+            return binarize_fused_split_pallas(img_eq, win, k)
     if _auto_pallas(use_pallas):
         from ..ops.pallas_kernels import sauvola_binarize_pallas
         lead = img_eq.shape[:-2]
@@ -205,10 +208,10 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
     ops than per-image f32 thinning."""
     rel_smooth = gaussian_blur(reliability, 2.0)
     if _auto_pallas(use_pallas):
-        from ..ops.pallas_cc import cc_filter_pallas
+        from ..ops.pallas_cc import clean_mask_split
         from ..ops.pallas_bitpack import zs_thin_bitpacked
-        cleaned = cc_filter_pallas(binary_smooth, "clean", connectivity=1,
-                                   min_size=64, max_size=80)
+        cleaned = clean_mask_split(binary_smooth, min_size=64, max_size=80,
+                                   connectivity=1)
         gated = jnp.logical_and(cleaned, rel_smooth > rel_thresh)
         return zs_thin_bitpacked(gated, prune=True)
     mask = clean_mask(binary_smooth, 64, 80, connectivity=1)

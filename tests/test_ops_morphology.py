@@ -122,3 +122,27 @@ def test_binary_close_open_packed_matches_f32():
     ref = np.asarray(binary_opening(binary_closing(mask, 15, "ellipse"),
                                     15, "ellipse"))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_convex_hull_interval_matches_scan():
+    """The row-interval binary-search hull is bit-identical to the
+    per-direction half-plane scan it replaced (same f32 predicate)."""
+    from multimodal_biometric_fingerprints_palms_tpu.ops.components import (
+        _convex_hull_mask_scan,
+    )
+    rng = np.random.default_rng(7)
+    masks = []
+    x = np.zeros((48, 80), bool)
+    x[10:40, 10:18] = True
+    x[30:40, 10:60] = True                       # L-shape
+    masks.append(x)
+    masks.append(rng.random((48, 80)) > 0.995)   # sparse points
+    masks.append(rng.random((48, 80)) > 0.4)     # dense blob
+    masks.append(np.zeros((48, 80), bool))       # empty
+    m = np.zeros((48, 80), bool); m[24, 40] = True
+    masks.append(m)                              # single pixel
+    batch = jnp.asarray(np.stack(masks))
+    for nd in (16, 90):
+        a = np.asarray(convex_hull_mask(batch, n_directions=nd))
+        b = np.asarray(_convex_hull_mask_scan(batch, n_directions=nd))
+        np.testing.assert_array_equal(a, b)

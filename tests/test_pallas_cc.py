@@ -184,3 +184,102 @@ def test_bitpack_roundtrip_and_multi_plane(rng):
     ours = np.asarray(zs_thin_bitpacked(masks, max_iters=16, interpret=True))
     ref = np.asarray(skeletonize(masks, max_iters=16))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_border_reach_packed_matches_flood(rng):
+    """Packed segmented-OR border reachability == BFS flood fill, incl. the
+    canonical-seed variant (the clean_mask_split exactness test)."""
+    from collections import deque
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_bitpack import (
+        border_reach_packed,
+    )
+
+    def flood(t, seeds, conn):
+        out = np.zeros_like(t)
+        q = deque(zip(*np.nonzero(seeds & t)))
+        out[seeds & t] = True
+        offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+        if conn == 2:
+            offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        while q:
+            y, x = q.popleft()
+            for dy, dx in offs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < t.shape[0] and 0 <= nx < t.shape[1] \
+                        and t[ny, nx] and not out[ny, nx]:
+                    out[ny, nx] = True
+                    q.append((ny, nx))
+        return out
+
+    h, w = 40, 128
+    batch = np.stack([rng.random((h, w)) > d
+                      for d in (0.3, 0.5, 0.7)] * 12)[:34]  # 2 planes
+    border = np.zeros((h, w), bool)
+    border[0] = border[-1] = True
+    border[:, 0] = border[:, -1] = True
+    for conn in (1, 2):
+        reach, reach1 = border_reach_packed(jnp.asarray(batch),
+                                            connectivity=conn,
+                                            interpret=True)
+        reach, reach1 = np.asarray(reach), np.asarray(reach1)
+        for i in range(batch.shape[0]):
+            t = batch[i]
+            np.testing.assert_array_equal(reach[i], flood(t, border, conn),
+                                          err_msg=f"img {i} conn {conn}")
+            idx = np.argwhere(t & border)
+            s1 = np.zeros((h, w), bool)
+            if len(idx):
+                y, x = idx[np.argmin(idx[:, 0] * w + idx[:, 1])]
+                s1[y, x] = True
+            np.testing.assert_array_equal(reach1[i], flood(t, s1, conn),
+                                          err_msg=f"img {i} conn {conn}")
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+def test_clean_mask_split_matches_clean(rng, conn):
+    """The 3-leg split clean (small-object relax -> packed border reach ->
+    interior-hole relax) is pixel-identical to the one-kernel clean mode on
+    noise (multi border components -> exact fallback) and on ridge-like
+    masks (single border component -> fast path)."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        cc_filter_pallas, clean_mask_split,
+    )
+    h, w = 32, 64
+    yy, xx = np.mgrid[:h, :w]
+    ridge = np.cos(np.sqrt((yy - 16.0) ** 2 + (xx - 32.0) ** 2) / 2.5) > 0.0
+    small_border = np.zeros((h, w), bool)   # tiny bg pocket at the border
+    small_border[:, :] = True
+    small_border[0, 3:6] = False            # 3-px border hole
+    small_border[20:24, 40:47] = False      # interior hole
+    batch = jnp.asarray(np.stack([
+        rng.random((h, w)) > 0.5,
+        ridge,
+        small_border,
+        np.ones((h, w), bool),
+    ]))
+    a = np.asarray(clean_mask_split(batch, 10, 25, connectivity=conn,
+                                    interpret=True))
+    b = np.asarray(cc_filter_pallas(batch, "clean", connectivity=conn,
+                                    min_size=10, max_size=25,
+                                    interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_binarize_split_matches_fused(rng):
+    """binarize_fused_split_pallas (packed border-reach middle leg) ==
+    binarize_fused_pallas on smooth ridge-like images and on noise."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        binarize_fused_pallas, binarize_fused_split_pallas,
+    )
+    h, w = 64, 96
+    yy, xx = np.mgrid[:h, :w]
+    ridges = 0.5 + 0.45 * np.cos(np.sqrt((yy - 30.0) ** 2
+                                         + (xx - 48.0) ** 2) / 2.2)
+    imgs = jnp.asarray(np.stack([
+        ridges, rng.random((h, w))]).astype(np.float32))
+    a = np.asarray(binarize_fused_split_pallas(imgs, interpret=True))
+    b = np.asarray(binarize_fused_pallas(imgs, interpret=True))
+    np.testing.assert_array_equal(a, b)
