@@ -258,6 +258,65 @@ def _masked_mean(x, m, axis=None):
     return num / den
 
 
+def anchor_promote(a: MinutiaeSet, b: MinutiaeSet, p: MatchParams,
+                   n_anchors: int = 8) -> jnp.ndarray:
+    """Deterministic recall-only anchors for the cascade screen.
+
+    The sampled screen (32 of the full pass's hypotheses) can miss a
+    genuine pair whose templates have few minutiae: the chance that no
+    sampled (a, b) lands near a true correspondence grows as counts
+    shrink, and a missed genuine silently becomes score 0 (an FRR error
+    the full protocol would not make). Descriptor quality of the same
+    physical minutia is stable across impressions, so pairing the t-th
+    highest-weight minutia of A with the t-th of B is very likely a true
+    correspondence for at least one t. This scores those ``n_anchors``
+    transforms with the screen's inlier gate and returns a promote bit.
+
+    OR-ing anchors into the screen only ever promotes MORE pairs — final
+    scores still come from the full pass, so FAR/score distributions are
+    unchanged; only screen recall improves. The reference early rejects
+    (match.py:81-88) still gate the result."""
+    wa = compute_descriptor_weights(a)
+    wb = compute_descriptor_weights(b)
+    na = jnp.sum(a.valid.astype(jnp.int32))
+    nb = jnp.sum(b.valid.astype(jnp.int32))
+    std_a = jnp.sqrt(_masked_mean(
+        (a.xy - _masked_mean(a.xy, a.valid[:, None], axis=0)) ** 2,
+        a.valid[:, None], axis=0))
+    std_b = jnp.sqrt(_masked_mean(
+        (b.xy - _masked_mean(b.xy, b.valid[:, None], axis=0)) ** 2,
+        b.valid[:, None], axis=0))
+    reject = ((na < 8) | (nb < 8)
+              | (jnp.linalg.norm(std_a - std_b) > 35.0))
+
+    k = a.valid.shape[0]
+    hi = lax.Precision.HIGHEST
+    iota = jnp.arange(k)
+
+    def top_feats(ms, w):
+        _, idx = lax.top_k(jnp.where(ms.valid, w, -1.0), n_anchors)
+        oh = (idx[:, None] == iota[None, :]).astype(jnp.float32)  # (T, K)
+        feat = jnp.stack([ms.orientation, ms.xy[:, 0], ms.xy[:, 1],
+                          ms.valid.astype(jnp.float32)], axis=-1)
+        return jnp.dot(oh, feat, preferred_element_type=jnp.float32,
+                       precision=hi)                              # (T, 4)
+
+    fa = top_feats(a, wa)
+    fb = top_feats(b, wb)
+    theta = _angle_diff(fb[:, 0], fa[:, 0])                       # (T,)
+    t = fb[:, 1:3] - jax.vmap(
+        lambda th, xy: _apply_rigid(xy[None, :], th, jnp.zeros(2))[0]
+    )(theta, fa[:, 1:3])
+    anchor_ok = (fa[:, 3] > 0.5) & (fb[:, 3] > 0.5)
+
+    def count(th, tt):
+        _, inlier, _ = _match_with_transform(a, b, wa, wb, th, tt, p)
+        return jnp.sum(inlier.astype(jnp.int32))
+
+    counts = jax.vmap(count)(theta, t)
+    return jnp.any(anchor_ok & (counts >= p.min_inliers)) & ~reject
+
+
 def match_minutiae_pair(a: MinutiaeSet, b: MinutiaeSet,
                         p: MatchParams = MatchParams()) -> MatchResult:
     """1:1 match of two fixed-K minutiae sets (match.py:219-275). jit-able;
@@ -396,3 +455,21 @@ def match_pairs_batch(a: MinutiaeSet, b: MinutiaeSet,
                       p: MatchParams = MatchParams()) -> MatchResult:
     """Batched 1:1 matching: a, b are (P, K)-leading MinutiaeSets."""
     return jax.vmap(lambda x, y: match_minutiae_pair(x, y, p))(a, b)
+
+
+def screen_promote_batch(a: MinutiaeSet, b: MinutiaeSet, p: MatchParams,
+                         use_pallas: bool) -> jnp.ndarray:
+    """Cascade-screen promote bits for a (P,)-batch of pairs: the sampled
+    prefix screen (finish-free Pallas kernel on TPU, full matcher on CPU)
+    OR-ed with the deterministic `anchor_promote` recall anchors. The one
+    screen implementation every cascade call site (matching runner,
+    pair-list gallery screen, blocked gallery screen) must share, so their
+    promotion sets stay identical."""
+    if use_pallas:
+        from .pallas_match import screen_pairs_batch_pallas
+        base = screen_pairs_batch_pallas(a, b, p)
+    else:
+        r = match_pairs_batch(a, b, p)
+        base = (r.final_score > 0.0) | (r.n_inliers > 0)
+    anchors = jax.vmap(lambda x, y: anchor_promote(x, y, p))(a, b)
+    return base | anchors

@@ -41,10 +41,10 @@ def _jit_pallas_batch(a, b, params):
     return match_pairs_batch_pallas(a, b, params)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _jit_screen_batch(a, b, params):
-    from .pallas_match import screen_pairs_batch_pallas
-    return screen_pairs_batch_pallas(a, b, params)
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _jit_screen_batch(a, b, params, use_pallas=True):
+    from .ransac import screen_promote_batch
+    return screen_promote_batch(a, b, params, use_pallas)
 
 import logging
 
@@ -78,27 +78,23 @@ def match_pair_indices(ds: MinutiaeDataset, pairs: np.ndarray,
         screen_p = params._replace(ransac_iter=screen_iters,
                                    full_iters=params.ransac_iter,
                                    min_inliers=max(3, params.min_inliers - 2))
-        if jax.default_backend() == "tpu":
-            # finish-free screen kernel (promote bit only) — 1.4x the
-            # full-matcher screen; chunks enqueued before any fetch
-            from .pallas_match import screen_pairs_batch_pallas
-            pending = []
-            for i in range(0, n, chunk):
-                idx = pairs[i:i + chunk]
-                real = idx.shape[0]
-                if real < chunk:
-                    idx = np.concatenate(
-                        [idx, np.tile(idx[-1:], (chunk - real, 1))])
-                a = jax.tree.map(lambda x: x[idx[:, 0]], ds.stacked)
-                b = jax.tree.map(lambda x: x[idx[:, 1]], ds.stacked)
-                pending.append(
-                    (_jit_screen_batch(a, b, screen_p), real))
-            promising = np.concatenate(
-                [np.asarray(m)[:real] for m, real in pending])
-        else:
-            screen = match_pair_indices(ds, pairs, screen_p, chunk=chunk)
-            promising = ((screen["final_score"] > 0.0)
-                         | (screen["n_inliers"] > 0))
+        # shared screen (finish-free Pallas kernel on TPU, full matcher on
+        # CPU, + deterministic recall anchors); chunks enqueued before any
+        # mask is fetched
+        use_pallas = jax.default_backend() == "tpu"
+        pending = []
+        for i in range(0, n, chunk):
+            idx = pairs[i:i + chunk]
+            real = idx.shape[0]
+            if real < chunk:
+                idx = np.concatenate(
+                    [idx, np.tile(idx[-1:], (chunk - real, 1))])
+            a = jax.tree.map(lambda x: x[idx[:, 0]], ds.stacked)
+            b = jax.tree.map(lambda x: x[idx[:, 1]], ds.stacked)
+            pending.append(
+                (_jit_screen_batch(a, b, screen_p, use_pallas), real))
+        promising = np.concatenate(
+            [np.asarray(m)[:real] for m, real in pending])
         out = {
             "final_score": np.zeros(n), "n_inliers": np.zeros(n, np.int32),
             "theta": np.zeros(n), "t": np.zeros((n, 2)),

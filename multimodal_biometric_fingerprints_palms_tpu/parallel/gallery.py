@@ -224,15 +224,10 @@ def _pairs_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
     spec = P(axis_name)
     rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
 
-    if use_pallas:
-        from ..matching.pallas_match import screen_pairs_batch_pallas
+    from ..matching.ransac import screen_promote_batch
 
-        def screen(a, b):
-            return screen_pairs_batch_pallas(a, b, params)
-    else:
-        def screen(a, b):
-            r = match_pairs_batch(a, b, params)
-            return (r.final_score > 0.0) | (r.n_inliers > 0)
+    def screen(a, b):
+        return screen_promote_batch(a, b, params, use_pallas)
 
     def device_fn(local_pairs, g: MinutiaeSet):
         chunks = local_pairs.reshape(-1, chunk, 2)
@@ -295,15 +290,10 @@ def _blocks_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
     spec = P(axis_name)
     rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
 
-    if use_pallas:
-        from ..matching.pallas_match import screen_pairs_batch_pallas
+    from ..matching.ransac import screen_promote_batch
 
-        def screen(a, b):
-            return screen_pairs_batch_pallas(a, b, params)
-    else:
-        def screen(a, b):
-            r = match_pairs_batch(a, b, params)
-            return (r.final_score > 0.0) | (r.n_inliers > 0)
+    def screen(a, b):
+        return screen_promote_batch(a, b, params, use_pallas)
 
     # The block cross product is screened in standard 512-pair chunks
     # (block*block = 4096 pairs as one matcher batch made the CPU-mesh

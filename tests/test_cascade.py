@@ -105,3 +105,51 @@ def test_screen_kernel_promotes_all_scoring_pairs(rng):
     # genuine half promoted, impostor half rejected on this fixture
     assert promoted[: pnum // 2].all()
     assert not promoted[pnum // 2:].any()
+
+
+def test_anchor_promote_rescues_weak_templates(rng):
+    """Recall anchors: a genuine pair with few minutiae that the sampled
+    screen can miss is promoted by the deterministic top-weight anchors;
+    impostors and early-reject pairs are not."""
+    from multimodal_biometric_fingerprints_palms_tpu.matching.ransac import (
+        anchor_promote, screen_promote_batch,
+    )
+
+    k, n = 64, 13                       # weak template (13 minutiae)
+    g = np.random.default_rng(11)
+
+    def tmpl(xy, ori, q):
+        pad = lambda v, d=0.0: np.concatenate(
+            [v, np.full((k - n,) + v.shape[1:], d, v.dtype)])
+        return MinutiaeSet(
+            xy=jnp.asarray(pad(xy.astype(np.float32))),
+            orientation=jnp.asarray(pad(ori.astype(np.float32))),
+            minutia_type=jnp.asarray(pad((q > 0.7).astype(np.int32))),
+            quality=jnp.asarray(pad(q.astype(np.float32))),
+            coherence=jnp.asarray(pad(q.astype(np.float32))),
+            angular_stability=jnp.asarray(pad(q.astype(np.float32))),
+            valid=jnp.asarray(np.arange(k) < n))
+
+    xy = g.uniform(40, 200, (n, 2))
+    ori = g.uniform(-np.pi, np.pi, n)
+    q = g.uniform(0.4, 1.0, n)
+    a = tmpl(xy, ori, q)
+    genuine = tmpl(xy + g.normal(0, 0.5, (n, 2)), ori, q + 0.01)
+    impostor = tmpl(g.uniform(40, 200, (n, 2)),
+                    g.uniform(-np.pi, np.pi, n), g.uniform(0.4, 1.0, n))
+
+    p = MatchParams(ransac_iter=32, min_inliers=4,
+                    full_iters=64)
+    assert bool(anchor_promote(a, genuine, p))
+    assert not bool(anchor_promote(a, impostor, p))
+
+    # early rejects still gate: identical-but-tiny templates stay out
+    tiny = jax.tree.map(lambda x: x, a)._replace(
+        valid=jnp.asarray(np.arange(k) < 5))
+    assert not bool(anchor_promote(tiny, tiny, p))
+
+    # the batch helper ORs anchors into the sampled screen
+    stack = lambda *ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+    mask = np.asarray(screen_promote_batch(
+        stack(a, a), stack(genuine, impostor), p, use_pallas=False))
+    assert mask[0] and not mask[1]
