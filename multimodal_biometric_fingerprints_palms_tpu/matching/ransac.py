@@ -458,18 +458,22 @@ def match_pairs_batch(a: MinutiaeSet, b: MinutiaeSet,
 
 
 def screen_promote_batch(a: MinutiaeSet, b: MinutiaeSet, p: MatchParams,
-                         use_pallas: bool) -> jnp.ndarray:
+                         use_pallas: bool,
+                         anchors: bool = True) -> jnp.ndarray:
     """Cascade-screen promote bits for a (P,)-batch of pairs: the sampled
     prefix screen (finish-free Pallas kernel on TPU, full matcher on CPU)
     OR-ed with the deterministic `anchor_promote` recall anchors. The one
     screen implementation every cascade call site (matching runner,
     pair-list gallery screen, blocked gallery screen) must share, so their
-    promotion sets stay identical."""
+    promotion sets stay identical. ``anchors=False`` is the ablation
+    switch for benchmarking the sampled screen alone."""
     if use_pallas:
         from .pallas_match import screen_pairs_batch_pallas
         base = screen_pairs_batch_pallas(a, b, p)
     else:
         r = match_pairs_batch(a, b, p)
         base = (r.final_score > 0.0) | (r.n_inliers > 0)
-    anchors = jax.vmap(lambda x, y: anchor_promote(x, y, p))(a, b)
-    return base | anchors
+    if not anchors:
+        return base
+    extra = jax.vmap(lambda x, y: anchor_promote(x, y, p))(a, b)
+    return base | extra
