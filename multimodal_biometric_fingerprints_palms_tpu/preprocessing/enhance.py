@@ -208,10 +208,15 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
     ops than per-image f32 thinning."""
     rel_smooth = gaussian_blur(reliability, 2.0)
     if _auto_pallas(use_pallas):
-        from ..ops.pallas_cc import clean_mask_split
+        from ..ops.pallas_cc import cc_filter_pallas
         from ..ops.pallas_bitpack import zs_thin_bitpacked
-        cleaned = clean_mask_split(binary_smooth, min_size=64, max_size=80,
-                                   connectivity=1)
+        # NOT clean_mask_split: the smoothed ridge mask's inverse is a valley
+        # network whose components almost all touch the border, so the packed
+        # border-reach witness fails and the split pays BOTH the packed pass
+        # and the full-relax fallback (53 ms vs 25 ms measured). The split
+        # only pays on binarize's masks (one border background component).
+        cleaned = cc_filter_pallas(binary_smooth, "clean", connectivity=1,
+                                   min_size=64, max_size=80)
         gated = jnp.logical_and(cleaned, rel_smooth > rel_thresh)
         return zs_thin_bitpacked(gated, prune=True)
     mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
