@@ -26,10 +26,14 @@ def _to_u8(x: jnp.ndarray) -> jnp.ndarray:
 def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-row 256-bin histogram. values: (..., N) int32 in [0,255].
 
-    Returns (..., 256) float32 counts. Computed as a one-hot bf16
-    contraction on the MXU (exact: one-hot entries are 0/1 and counts
-    accumulate in f32) — scatter-adds, the obvious formulation, are
-    sort-based and several times slower on TPU.
+    Returns (..., 256) float32 counts. Computed as a nibble-decomposed
+    one-hot bf16 contraction on the MXU: with hi = v >> 4 and lo = v & 15,
+    count[hi, lo] = sum_n onehot16(hi_n) * onehot16(lo_n) — one (N,16) x
+    (N,16) matmul per row instead of a (N,256) one-hot reduction. Exact
+    (one-hot entries are 0/1, f32 accumulation), and the materialized
+    one-hots shrink 8x (two 16-wide instead of one 256-wide) — histograms
+    here are HBM-bound, not MAC-bound. Scatter-adds, the obvious
+    formulation, are sort-based and several times slower on TPU.
     """
     lead = values.shape[:-1]
     n = values.shape[-1]
@@ -37,15 +41,13 @@ def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp
     for d in lead:
         b *= d
     v = values.reshape(b, n)
-    oh = jax.nn.one_hot(v, NBINS, dtype=jnp.bfloat16)
-    if weights is None:
-        ones = jnp.ones((n,), jnp.bfloat16)
-        hist = jnp.einsum("bnv,n->bv", oh, ones,
-                          preferred_element_type=jnp.float32)
-    else:
-        w = weights.reshape(b, n).astype(jnp.bfloat16)
-        hist = jnp.einsum("bnv,bn->bv", oh, w,
-                          preferred_element_type=jnp.float32)
+    oh_hi = jax.nn.one_hot(v >> 4, 16, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(v & 15, 16, dtype=jnp.bfloat16)
+    if weights is not None:
+        # fold the weights into one factor; 0/1 mask weights stay exact
+        oh_hi = oh_hi * weights.reshape(b, n).astype(jnp.bfloat16)[..., None]
+    hist = jnp.einsum("bnh,bnl->bhl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
     return hist.reshape(lead + (NBINS,))
 
 

@@ -590,15 +590,22 @@ def _clahe_kernel_v2(v_ref, out_ref, hist_ref, lut_ref, mxw_ref, *,
 
     hist_ref[:] = jnp.zeros((nt, 256), f32)
 
+    bins_iota8h = lax.broadcasted_iota(jnp.int32, (256, 8 * w), 0).astype(f32)
+    sub8h = lax.broadcasted_iota(jnp.int32, (8, w), 0)
+    sel8_8 = jnp.concatenate([sel8] * 8, axis=1)                # (grid, 8w)
+
     def accum_chunk(c, _):
         rows = v_ref[0, pl.ds(c * 8, 8), :]                     # (8, w)
         ty = (c * 8) // th
-        sumoh = jnp.zeros((256, w), jnp.bfloat16)
-        for k in range(8):
-            sumoh = sumoh + (bins_iota == rows[k:k + 1, :]).astype(
-                jnp.bfloat16)
+        # lane-blocked one-hot of the whole chunk: ONE compare + ONE matmul
+        # instead of 8 compares + 7 bf16 adds (masked sums: sliced rows
+        # keep their sublane offset; mixed-offset lane concat is rejected)
+        rows_cat = jnp.concatenate(
+            [jnp.sum(jnp.where(sub8h == k, rows, 0.0), axis=0, keepdims=True)
+             for k in range(8)], axis=1)                        # (1, 8w)
+        oh8 = (bins_iota8h == rows_cat).astype(jnp.bfloat16)    # (256, 8w)
         band = lax.dot_general(
-            sel8, sumoh, (((1,), (1,)), ((), ())),
+            sel8_8, oh8, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)                          # (grid, 256)
         hist_ref[pl.ds(ty * grid, grid), :] = (
             hist_ref[pl.ds(ty * grid, grid), :] + band)
@@ -633,26 +640,49 @@ def _clahe_kernel_v2(v_ref, out_ref, hist_ref, lut_ref, mxw_ref, *,
     tyt = (t_iota // grid).astype(f32)
     mxw_ref[:] = ((txt == x0) * (1.0 - wx1) + (txt == x1) * wx1)
 
-    mxw = mxw_ref[:]
-    lut_bf = lut_ref[:].astype(jnp.bfloat16)  # integers <= 255: exact
+    # Apply phase: ONE (24, 256) @ (256, 8w) matmul per 8-row chunk. The
+    # old per-row form (8 small LUT matmuls per chunk, 320 per image) was
+    # latency-bound — the window slice that cut its MACs 4x didn't move the
+    # clock at all. Here the 8 rows' one-hots are laid out in lane blocks
+    # (column k*w+x = row k, pixel x), and the bilinear y-window of an
+    # 8-row chunk spans at most 3 tile rows (8 rows < tile height), so a
+    # 24-row 8-aligned LUT slice covers every row of the chunk; per-lane
+    # y-weights select each lane block's own tile rows.
+    mxw24 = jnp.concatenate([mxw_ref[0:24, :]] * 8, axis=1)  # (24, 8w)
+    bins_iota8 = lax.broadcasted_iota(jnp.int32, (256, 8 * w), 0).astype(f32)
+    lane_k = (lax.broadcasted_iota(jnp.int32, (1, 8 * w), 1) // w).astype(f32)
+    sub8 = lax.broadcasted_iota(jnp.int32, (8, w), 0)
+    tyt24 = (lax.broadcasted_iota(jnp.int32, (24, 8 * w), 0) // grid
+             ).astype(f32)
 
     def apply_chunk(c, _):
         rows = v_ref[0, pl.ds(c * 8, 8), :]
-        out_rows = []
-        for k in range(8):
-            oh = (bins_iota == rows[k:k + 1, :]).astype(jnp.bfloat16)
-            p_all = lax.dot_general(
-                lut_bf, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                      # (nt, w)
-            yy = (c * 8 + k).astype(f32) / th - 0.5
-            y0 = jnp.clip(jnp.floor(yy), 0.0, grid - 1.0)
-            y1 = jnp.minimum(y0 + 1.0, grid - 1.0)
-            wy1 = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
-            wy1 = jnp.where(yy < 0, 0.0,
-                            jnp.where(yy > grid - 1, 1.0, wy1))
-            wrow = ((tyt == y0) * (1.0 - wy1) + (tyt == y1) * wy1) * mxw
-            out_rows.append(jnp.sum(wrow * p_all, axis=0, keepdims=True))
-        out_ref[0, pl.ds(c * 8, 8), :] = jnp.concatenate(out_rows, axis=0)
+        # (1, 8w) lane-blocked row values (masked sums: sliced rows keep
+        # their sublane offset and Mosaic rejects mixed-offset lane concat)
+        rows_cat = jnp.concatenate(
+            [jnp.sum(jnp.where(sub8 == k, rows, 0.0), axis=0, keepdims=True)
+             for k in range(8)], axis=1)
+        oh8 = (bins_iota8 == rows_cat).astype(jnp.bfloat16)    # (256, 8w)
+
+        yy = ((c * 8).astype(f32) + lane_k) / th - 0.5          # (1, 8w)
+        y0 = jnp.clip(jnp.floor(yy), 0.0, grid - 1.0)
+        y1 = jnp.minimum(y0 + 1.0, grid - 1.0)
+        wy1 = jnp.clip(yy - jnp.floor(yy), 0.0, 1.0)
+        wy1 = jnp.where(yy < 0, 0.0, jnp.where(yy > grid - 1, 1.0, wy1))
+        # window start: first row's y0, clamped so [a, a+2] stays in range
+        yy0 = (c * 8).astype(f32) / th - 0.5
+        a = jnp.clip(jnp.floor(yy0), 0.0, grid - 3.0)
+
+        lut_win = lut_ref[pl.ds(a.astype(jnp.int32) * grid, 24),
+                          :].astype(jnp.bfloat16)
+        p24 = lax.dot_general(
+            lut_win, oh8, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                          # (24, 8w)
+        ty = a + tyt24
+        w24 = ((ty == y0) * (1.0 - wy1) + (ty == y1) * wy1) * mxw24
+        flat = jnp.sum(w24 * p24, axis=0, keepdims=True)         # (1, 8w)
+        out_ref[0, pl.ds(c * 8, 8), :] = jnp.concatenate(
+            [flat[:, k * w:(k + 1) * w] for k in range(8)], axis=0)
         return _
 
     lax.fori_loop(0, h // 8, apply_chunk, None)
