@@ -54,8 +54,10 @@ def main(batch=128, iters=5):
                 out_ref[0] = ids.astype(jnp.float32)
                 return
             ids = C._run_ids(fg, h, w)
-            label = C._label_relax(fg, h, w, 1, 512, label0=ids)
-            if phase == "relax":
+            spc = {"relax": 2, "relax4": 4, "relax8": 8}.get(phase, 2)
+            label = C._label_relax(fg, h, w, 1, 512, label0=ids,
+                                   sweeps_per_check=spc)
+            if phase.startswith("relax"):
                 out_ref[0] = label
                 return
             C._runid_hist(label, fg, h, w, count_ref, lab_ref)
@@ -88,7 +90,10 @@ def main(batch=128, iters=5):
         dt = (time.perf_counter() - t0) / iters
         print(f"{phase:10s} {dt*1000:8.1f} ms", flush=True)
 
-    for phase in ("noop", "scan8", "runids", "relax", "hist", "lookup"):
+    import sys as _sys
+    phases = (_sys.argv[2].split(",") if len(_sys.argv) > 2 else
+              ("noop", "scan8", "runids", "relax", "hist", "lookup"))
+    for phase in phases:
         run(phase)
 
 

@@ -228,6 +228,45 @@ def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
             unpack_bits(r1, b).reshape(transparent.shape))
 
 
+def _seed_reach_kernel(t_ref, s_ref, r_ref, *, h: int, w: int,
+                       connectivity: int, max_iters: int):
+    r_ref[0] = _reach_fixpoint(s_ref[0], t_ref[0], h, w, connectivity,
+                               max_iters)
+
+
+def reach_packed(mask: jnp.ndarray, seeds: jnp.ndarray,
+                 connectivity: int = 1, max_iters: int = 512,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Reachability from an arbitrary per-image seed mask over (..., H, W)
+    boolean masks, 32 images per int32 plane: returns the union of the
+    components of ``mask`` containing a seed pixel. The packed counterpart
+    of `pallas_cc.binary_reconstruct_pallas` — each sweep is ~4 segmented
+    OR scans on ONE plane for 32 images."""
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    tp = pack_bits(mask.reshape(b, h, w))
+    sp = pack_bits(seeds.reshape(b, h, w))
+    nb = tp.shape[0]
+    kern = functools.partial(_seed_reach_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    r = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nb, h, w), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(tp, sp)
+    return unpack_bits(r, b).reshape(mask.shape)
+
+
 def _cross_and(v):
     out = v
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):

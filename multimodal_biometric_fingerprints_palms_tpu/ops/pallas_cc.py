@@ -297,7 +297,8 @@ def connected_components_pallas(mask: jnp.ndarray, connectivity: int = 2,
 
 
 def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
-                 max_shift: int | None = None, label0=None):
+                 max_shift: int | None = None, label0=None,
+                 sweeps_per_check: int = 2):
     """CC relaxation on values with int32 segment-keyed scans (see the key
     encoding note above): per sweep, a forward+backward keyed min-scan along
     each axis plus a 3x3/cross min stencil, iterated to fixpoint. Returns
@@ -366,15 +367,19 @@ def _label_relax(fg, h: int, w: int, connectivity: int, max_iters: int,
         v = dir_pass(v, base_h, 0, h, False)
         return stencil(v)
 
-    # Two sweeps per loop iteration: halves the convergence-check reduces
-    # at the cost of at most one extra sweep after the fixpoint.
+    # Several sweeps per loop iteration: the convergence check is a full
+    # vector->scalar reduce that stalls the pipeline, so checking every
+    # sweep costs more than the (cheap) extra sweeps it saves.
     def cond(state):
         v, prev, i = state
         return jnp.logical_and(i < max_iters, jnp.any(v != prev))
 
     def body(state):
         v, _, i = state
-        return sweep(sweep(v)), v, i + 2
+        out = v
+        for _k in range(sweeps_per_check):
+            out = sweep(out)
+        return out, v, i + sweeps_per_check
 
     first = sweep(label0)
     v, _, _ = lax.while_loop(cond, body, (first, label0, jnp.int32(1)))

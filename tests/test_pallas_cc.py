@@ -283,3 +283,39 @@ def test_binarize_split_matches_fused(rng):
     a = np.asarray(binarize_fused_split_pallas(imgs, interpret=True))
     b = np.asarray(binarize_fused_pallas(imgs, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+def test_largest_component_majority_matches_oracle(rng, conn):
+    """Majority-shortcut largest_component == label+size oracle, both when
+    the seeded component holds a strict fg majority (closed-form path) and
+    when it does not (two comparable blobs -> exact kernel fallback)."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.components import (
+        _largest_component_majority, connected_components, component_sizes,
+    )
+
+    h, w = 40, 128
+    imgs = []
+    # one dominant blob + speckles (majority path)
+    m = rng.random((h, w)) > 0.92
+    m[8:30, 20:90] = True
+    imgs.append(m)
+    # three comparable blobs: the seeded one holds ~1/3 of fg, no strict
+    # majority -> the exact-kernel fallback decides
+    m2 = np.zeros((h, w), bool)
+    m2[4:18, 4:44] = True      # 560 px (the largest)
+    m2[22:36, 4:42] = True     # 532 px
+    m2[12:28, 70:103] = True   # 528 px, but the only 15x15-dense one:
+    imgs.append(m2)            # the seed lands here and fails the majority
+    # empty mask
+    imgs.append(np.zeros((h, w), bool))
+    batch = jnp.asarray(np.stack(imgs))
+
+    got = np.asarray(_largest_component_majority(batch, conn,
+                                                 interpret=True))
+    lab = connected_components(batch, conn)
+    sizes = component_sizes(lab, batch)
+    best = jnp.argmax(sizes[..., :-1], axis=-1).astype(jnp.int32)
+    want = np.asarray(jnp.logical_and(batch, lab == best[..., None, None]))
+    np.testing.assert_array_equal(got, want)
