@@ -31,6 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_cc import _shift_no_wrap
+
 
 def _pad_symmetric(x: jnp.ndarray, before: int, after: int,
                    axis: int) -> jnp.ndarray:
@@ -241,6 +243,258 @@ def nlm_denoise_pallas_blocked(img: jnp.ndarray, h: float = 10.0,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(x, strips)
+
+
+def _nlm_kernel_sym(img_ref, strip_ref, out_ref, wout_ref, macc_ref,
+                    mwacc_ref, acc_ref, wacc_ref, *, h_param: float,
+                    template: int, search: int, bf16: bool):
+    """Symmetric-pair NLM: grid step d handles direct offsets dy = d - r
+    (dy in [-r..0], all 21 dx) AND their mirrors (-dy, -dx). In the
+    interior the mirror's patch SSD is bit-identical to the direct one
+    (dsq_{-o}(q) == dsq_o(q - o) as values, and the banded box matmuls sum
+    the same 49 products in the same order), so each banded-matmul SSD —
+    the MXU wall of the blocked kernel — is computed ONCE per pair. Mirror
+    contributions are lane-shifted by -dx in-kernel and written as per-step
+    planes; the caller row-shifts them by -dy (a static XLA slice per
+    step), masks them to the interior ring, and recomputes the border ring
+    directly (`_nlm_mirror_band`)."""
+    d = pl.program_id(1)
+    r = search // 2
+    nsteps = r + 1
+    x = img_ref[0]
+    hh, ww = x.shape
+    hn2 = (h_param / 255.0) ** 2
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    inv_f = jnp.float32(-1.0 / hn2 / float(template * template))
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wacc_ref[:] = jnp.zeros_like(wacc_ref)
+
+    xc = x.astype(dt)
+    strip = strip_ref[0, 0]                    # (H, W+2r), dtype dt
+
+    t_r = template // 2
+    mm_dt = dt
+    prec = (None if bf16 else lax.Precision.HIGHEST)
+    b_h = _box_band(hh, t_r).astype(mm_dt)
+    b_w = _box_band(ww, t_r).astype(mm_dt)
+
+    last = jnp.float32(d == nsteps - 1)        # dy == 0 on the last step
+    acc = acc_ref[:]
+    wacc = wacc_ref[:]
+    m_a = jnp.zeros((hh, ww), jnp.float32)
+    m_w = jnp.zeros((hh, ww), jnp.float32)
+    for dxi in range(search):
+        dx = dxi - r
+        shifted = strip[:, dxi:dxi + ww]
+        diff = xc - shifted
+        dsq = (diff * diff).astype(mm_dt)
+        tmp = lax.dot_general(b_h, dsq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        d2 = lax.dot_general(tmp.astype(mm_dt), b_w,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+        wgt = jnp.exp(d2 * inv_f).astype(dt)
+        # direct (dy, dx): all dx when dy < 0; only dx <= 0 when dy == 0
+        sd = 1.0 - last if dx > 0 else jnp.float32(1.0)
+        acc = acc + sd * (wgt * shifted).astype(jnp.float32)
+        wacc = wacc + sd * wgt.astype(jnp.float32)
+        # mirror (-dy, -dx): all dx when dy < 0; only dx < 0 when dy == 0
+        sm = 1.0 - last if dx >= 0 else jnp.float32(1.0)
+        t_w = sm * wgt.astype(jnp.float32)
+        m_a = m_a + _shift_no_wrap((t_w * xc.astype(jnp.float32)),
+                                   -dx, 1, 0.0)
+        m_w = m_w + _shift_no_wrap(t_w, -dx, 1, 0.0)
+    acc_ref[:] = acc
+    wacc_ref[:] = wacc
+    macc_ref[0, 0] = m_a
+    mwacc_ref[0, 0] = m_w
+
+    @pl.when(d == nsteps - 1)
+    def _():
+        out_ref[0] = acc_ref[:]
+        wout_ref[0] = wacc_ref[:]
+
+
+def _nlm_mirror_band(xc, padx, slab, hh: int, ww: int, h_param: float,
+                     template: int, search: int, dt):
+    """Direct evaluation of the MIRROR-half offsets ((dy > 0, any dx) and
+    (dy == 0, dx > 0)) on one border slab of destination pixels, with the
+    same banded-matmul box (expanded-slab + crop, so box folds only apply
+    at true image borders) — bit-identical weights to the full-frame form.
+    slab = (a, b, c0, c1) destination rows/cols. Returns (acc, wacc) of
+    shape (..., b-a, c1-c0)."""
+
+    def _box_sum_shift(v, size, box_dt):
+        """Separable box SUM, symmetric borders, as fused shift-adds with
+        f32 accumulation and a box_dt round between axes — the slab shapes
+        are too small for MXU-tiled matmuls (a batched (22,268) einsum pads
+        to 128-tiles at ~3% utilization and dominated the whole op)."""
+        c = size // 2
+
+        def axis_pass(u, ax):
+            pad_spec = [(0, 0)] * u.ndim
+            pad_spec[ax] = (c, size - 1 - c)
+            p = jnp.pad(u, pad_spec, mode="symmetric")
+            n = u.shape[ax]
+            out = None
+            for t in range(size):
+                sl = [slice(None)] * u.ndim
+                sl[ax] = slice(t, t + n)
+                piece = p[tuple(sl)].astype(jnp.float32)
+                out = piece if out is None else out + piece
+            return out
+
+        tmp = axis_pass(v, v.ndim - 2).astype(box_dt)
+        return axis_pass(tmp, v.ndim - 1)
+
+    a, b, c0, c1 = slab
+    r = search // 2
+    hn2 = (h_param / 255.0) ** 2
+    inv_f = jnp.float32(-1.0 / hn2 / float(template * template))
+    e0 = 3 if a > 0 else 0
+    e1 = 3 if b < hh else 0
+    f0 = 3 if c0 > 0 else 0
+    f1 = 3 if c1 < ww else 0
+    x_exp = xc[..., a - e0:b + e1, c0 - f0:c1 + f1]
+    # source rows for q_y + dy, dy in [0..r]: padx rows a-e0+r .. b+e1+2r
+    strip_rows = padx[..., a - e0 + r:b + e1 + 2 * r, :]
+    acc = jnp.zeros(xc.shape[:-2] + (b - a, c1 - c0), jnp.float32)
+    wacc = jnp.zeros_like(acc)
+    for dy in range(0, r + 1):
+        row_src = strip_rows[..., dy:dy + (b + e1) - (a - e0), :]
+        # all 21 dx offsets stacked on a batch axis: ONE batched banded
+        # matmul per axis instead of 21 small dispatches (the per-offset
+        # form was dominated by XLA matmul dispatch latency)
+        sh_all = jnp.stack(
+            [row_src[..., :, c0 - f0 + r + dx:c1 + f1 + r + dx]
+             for dx in range(-r, r + 1)], axis=-3)
+        dsq = ((x_exp[..., None, :, :].astype(dt) - sh_all) ** 2).astype(dt)
+        d2 = _box_sum_shift(dsq, template, dt)
+        d2q = d2[..., e0:e0 + (b - a), f0:f0 + (c1 - c0)]
+        wgt = jnp.exp(d2q * inv_f).astype(dt)
+        sh_q = sh_all[..., e0:e0 + (b - a), f0:f0 + (c1 - c0)]
+        if dy == 0:
+            keep = (jnp.arange(2 * r + 1) > r).astype(jnp.float32)
+            keep = keep[:, None, None]
+        else:
+            keep = jnp.float32(1.0)
+        acc = acc + jnp.sum(
+            keep * (wgt * sh_q).astype(jnp.float32), axis=-3)
+        wacc = wacc + jnp.sum(keep * wgt.astype(jnp.float32), axis=-3)
+    return acc, wacc
+
+
+def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
+                           template: int = 7, search: int = 21,
+                           precision: str = "bf16",
+                           interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W) [0,1] non-local means with symmetric-pair SSD reuse.
+
+    Same math as `ops.denoise.nlm_denoise` up to f32 accumulation ORDER:
+    every per-offset weight and value is bit-identical (the mirror SSD
+    identity is exact, including bf16 rounding, wherever both template
+    windows are interior; elsewhere the ring is recomputed directly), but
+    genuine/mirror terms accumulate in a different order, so results drift
+    by a few 1e-6 from the canonical-order forms. Halves the banded-matmul
+    SSD work — the MXU wall of `nlm_denoise_pallas_blocked`.
+
+    MEASURED (v5e, batch 128 @ 320x256): NOT a win end-to-end — the kernel
+    half (direct + mirror planes) runs 27 ms vs 39 ms for the blocked
+    kernel, but the border-ring correction (`_nlm_mirror_band`) costs
+    ~45 ms in XLA in both its batched-einsum form (a (22,268)-shaped
+    batched matmul pads to 128-tiles at ~3% MXU utilization) and its
+    shift-add form (skinny slab layouts + unfused pads). The pipeline
+    therefore keeps `nlm_denoise_pallas_blocked`; making symmetry pay
+    needs the ring correction inside the Pallas kernel (VMEM-resident
+    sublane-sliced bands). Kept as a bit-exact-tested building block —
+    see docs/PERF.md."""
+    b, hh, ww = img.shape
+    r = search // 2
+    ring = r + 3                  # mirror-valid destination margin
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    x = img.astype(jnp.float32)
+    xc = x.astype(dt)
+    padx = jnp.pad(xc, [(0, 0), (r, r), (r, r)], mode="reflect")
+    nsteps = r + 1
+    strips = jnp.stack([padx[:, d:d + hh, :] for d in range(nsteps)], axis=1)
+    wp = ww + 2 * r
+    kern = functools.partial(_nlm_kernel_sym, h_param=h, template=template,
+                             search=search, bf16=precision == "bf16")
+    acc, wacc, m_a, m_w = pl.pallas_call(
+        kern,
+        grid=(b, nsteps),
+        in_specs=[
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hh, wp), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hh, ww), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hh, ww), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, nsteps, hh, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, nsteps, hh, ww), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, strips)
+
+    # mirror planes: step d's mirror offset is (r - d, -dx); the dx shift
+    # happened in-kernel, the row shift (down by r - d) is a static slice
+    # of the top-zero-padded plane.  m_p[:, d, d:d+hh] rows = plane shifted
+    # down by r - d.
+    m_ap = jnp.pad(m_a, [(0, 0), (0, 0), (r, 0), (0, 0)])
+    m_wp = jnp.pad(m_w, [(0, 0), (0, 0), (r, 0), (0, 0)])
+    msum_a = sum(m_ap[:, d, d:d + hh, :] for d in range(nsteps))
+    msum_w = sum(m_wp[:, d, d:d + hh, :] for d in range(nsteps))
+
+    rows = jnp.arange(hh)[:, None]
+    cols = jnp.arange(ww)[None, :]
+    interior = ((rows >= ring) & (rows < hh - ring)
+                & (cols >= ring) & (cols < ww - ring))
+    acc = acc + jnp.where(interior, msum_a, 0.0)
+    wacc = wacc + jnp.where(interior, msum_w, 0.0)
+
+    # border ring: recompute the mirror half directly on four slabs
+    top = (0, min(ring, hh), 0, ww)
+    bot_a = max(hh - ring, min(ring, hh))
+    bot = (bot_a, hh, 0, ww)
+    mid0, mid1 = min(ring, hh), max(hh - ring, min(ring, hh))
+    slabs = [top, bot]
+    if mid1 > mid0 and ww > 2 * ring:
+        slabs.append((mid0, mid1, 0, min(ring, ww)))
+        slabs.append((mid0, mid1, max(ww - ring, ring), ww))
+    elif mid1 > mid0:
+        slabs.append((mid0, mid1, 0, ww))
+    for slab in slabs:
+        a_, b_, c0_, c1_ = slab
+        if b_ <= a_ or c1_ <= c0_:
+            continue
+        sa, sw = _nlm_mirror_band(xc, padx, slab, hh, ww, h, template,
+                                  search, dt)
+        acc = acc.at[:, a_:b_, c0_:c1_].add(sa)
+        wacc = wacc.at[:, a_:b_, c0_:c1_].add(sw)
+    return acc / jnp.maximum(wacc, 1e-8)
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,19 @@ def test_binarize_fused_matches_xla(rng):
     # intra-implementation noise well below the stage's own quantization.
     agree = (ours == ref).mean()
     assert agree > 0.99, agree
+
+
+def test_nlm_pallas_sym_matches_xla(rng):
+    """Symmetric-pair NLM (mirror SSD reuse + border-ring recompute) is
+    bit-identical to the canonical XLA form on all-ring and
+    interior-containing shapes, both precisions."""
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_kernels import (
+        nlm_denoise_pallas_sym,
+    )
+    for shape in [(1, 16, 32), (2, 40, 128)]:
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        for prec in ("f32", "bf16"):
+            ours = np.asarray(nlm_denoise_pallas_sym(x, precision=prec,
+                                                     interpret=True))
+            ref = np.asarray(nlm_denoise(x, precision=prec))
+            np.testing.assert_allclose(ours, ref, atol=1e-6)
