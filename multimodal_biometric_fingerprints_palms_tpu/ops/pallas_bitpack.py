@@ -176,7 +176,8 @@ def _reach_kernel(t_ref, s_ref, s1_ref, r_ref, r1_ref, *, h: int, w: int,
 
 
 def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
-                        max_iters: int = 512, interpret: bool = False):
+                        max_iters: int = 512, interpret: bool = False,
+                        packed: bool = False):
     """Border reachability on (..., H, W) boolean masks, 32 images per
     int32 plane.
 
@@ -224,6 +225,11 @@ def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(tp, sp, s1p)
+    if packed:
+        # (nb, H, W) int32 planes — consumers index plane i // 32 via
+        # their BlockSpec and test bit i % 32, skipping the f32 unpack
+        # round trip through HBM entirely.
+        return r, r1
     return (unpack_bits(r, b).reshape(transparent.shape),
             unpack_bits(r1, b).reshape(transparent.shape))
 

@@ -478,6 +478,9 @@ def _fill_holes_split_kernel(mask_ref, reach_ref, reach1_ref, out_ref,
     """remove_small_holes with the border-connected background pre-resolved
     by `pallas_bitpack.border_reach_packed` (reach = union of the
     border-touching background components, reach1 = the canonical one).
+    reach/reach1 arrive as PACKED int32 planes — the BlockSpec maps grid
+    image i to plane i // 32, and bit i % 32 is tested in-kernel, so the
+    packed leg's results never round-trip HBM as f32 masks.
 
     Exactness: if reach == reach1 (at most ONE component touches the
     border), that component's size is popcount(reach), so it never needs
@@ -489,8 +492,9 @@ def _fill_holes_split_kernel(mask_ref, reach_ref, reach1_ref, out_ref,
     cases go through ONE relax on a data-selected mask, so there is no
     lax.cond and no second compiled body."""
     kept = mask_ref[0] > 0.5
-    reach = reach_ref[0] > 0.5
-    reach1 = reach1_ref[0] > 0.5
+    bit = (pl.program_id(0) % 32).astype(jnp.int32)
+    reach = (lax.shift_right_logical(reach_ref[0], bit) & 1) > 0
+    reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
     multi = jnp.any(reach != reach1)
     relax_mask = jnp.logical_and(inv, jnp.logical_or(multi, ~reach))
@@ -504,10 +508,12 @@ def _fill_holes_split_kernel(mask_ref, reach_ref, reach1_ref, out_ref,
     out_ref[0] = jnp.logical_or(kept, fill).astype(jnp.float32)
 
 
-def fill_holes_split_pallas(mask: jnp.ndarray, reach: jnp.ndarray,
-                            reach1: jnp.ndarray, max_size: int,
+def fill_holes_split_pallas(mask: jnp.ndarray, reach_planes: jnp.ndarray,
+                            reach1_planes: jnp.ndarray, max_size: int,
                             connectivity: int = 1, max_iters: int = 512,
                             interpret: bool = False) -> jnp.ndarray:
+    """mask: (..., H, W) bool/f32; reach/reach1: PACKED (ceil(B/32), H, W)
+    int32 planes from `border_reach_packed(..., packed=True)`."""
     lead = mask.shape[:-2]
     h, w = mask.shape[-2:]
     b = 1
@@ -519,10 +525,12 @@ def fill_holes_split_pallas(mask: jnp.ndarray, reach: jnp.ndarray,
                              max_size=max_size)
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, h, w), lambda i: (i // 32, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, pspec, pspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
@@ -532,8 +540,7 @@ def fill_holes_split_pallas(mask: jnp.ndarray, reach: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(mask.reshape(b, h, w).astype(jnp.float32),
-      reach.reshape(b, h, w).astype(jnp.float32),
-      reach1.reshape(b, h, w).astype(jnp.float32))
+      reach_planes, reach1_planes)
     return (out > 0.5).reshape(mask.shape)
 
 
@@ -555,7 +562,7 @@ def clean_mask_split(mask: jnp.ndarray, min_size: int, max_size: int,
     inv = jnp.logical_not(kept)
     reach, reach1 = border_reach_packed(inv, connectivity=connectivity,
                                         max_iters=max_iters,
-                                        interpret=interpret)
+                                        interpret=interpret, packed=True)
     return fill_holes_split_pallas(kept, reach, reach1, max_size,
                                    connectivity=connectivity,
                                    max_iters=max_iters, interpret=interpret)

@@ -690,13 +690,15 @@ def _binarize_phase2_kernel(kept_ref, reach_ref, reach1_ref, out_ref,
                             count_ref, lab_ref, sizes_ref, *,
                             h: int, w: int, max_size: int, cc_iters: int):
     """Hole fill (split exactness logic, see pallas_cc._fill_holes_split_
-    kernel). The open/erode/reconstruction tail runs bit-packed afterwards
-    (pallas_bitpack.open_erode_reconstruct_packed)."""
+    kernel; reach/reach1 arrive as packed int32 planes, bit i % 32 of
+    plane i // 32). The open/erode/reconstruction tail runs bit-packed
+    afterwards (pallas_bitpack.open_erode_reconstruct_packed)."""
     from .pallas_cc import _relax_and_sizes
 
     kept = kept_ref[0] > 0.5
-    reach = reach_ref[0] > 0.5
-    reach1 = reach1_ref[0] > 0.5
+    bit = (pl.program_id(0) % 32).astype(jnp.int32)
+    reach = (lax.shift_right_logical(reach_ref[0], bit) & 1) > 0
+    reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
     multi = jnp.any(reach != reach1)
     relax_mask = jnp.logical_and(inv, jnp.logical_or(multi, ~reach))
@@ -756,14 +758,16 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
 
     reach, reach1 = border_reach_packed(kept < 0.5, connectivity=1,
                                         max_iters=cc_iters,
-                                        interpret=interpret)
+                                        interpret=interpret, packed=True)
 
     k2 = functools.partial(_binarize_phase2_kernel, h=h, w=w,
                            max_size=max_size, cc_iters=cc_iters)
+    pspec = pl.BlockSpec((1, h, w), lambda i: (i // 32, 0, 0),
+                         memory_space=pltpu.VMEM)
     cleaned = pl.pallas_call(
         k2,
         grid=(b,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, pspec, pspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
@@ -772,9 +776,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(kept,
-      reach.reshape(b, h, w).astype(jnp.float32),
-      reach1.reshape(b, h, w).astype(jnp.float32))
+    )(kept, reach, reach1)
     out = open_erode_reconstruct_packed(cleaned > 0.5, max_iters=cc_iters,
                                         interpret=interpret)
     return out.reshape(img_eq.shape)
