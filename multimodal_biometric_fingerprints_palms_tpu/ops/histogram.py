@@ -30,7 +30,10 @@ def histogram256(values: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp
     one-hot bf16 contraction on the MXU: with hi = v >> 4 and lo = v & 15,
     count[hi, lo] = sum_n onehot16(hi_n) * onehot16(lo_n) — one (N,16) x
     (N,16) matmul per row instead of a (N,256) one-hot reduction. Exact
-    (one-hot entries are 0/1, f32 accumulation), and the materialized
+    for unweighted counts and for 0/1 mask weights (one-hot entries are
+    0/1, f32 accumulation); fractional weights would round to bf16 when
+    folded into the one-hot factor, so pass only 0/1 masks as weights.
+    The materialized
     one-hots shrink 8x (two 16-wide instead of one 256-wide) — histograms
     here are HBM-bound, not MAC-bound. Scatter-adds, the obvious
     formulation, are sort-based and several times slower on TPU.
@@ -92,7 +95,8 @@ def quantiles_bisect(x: jnp.ndarray, qs, iters: int = 24,
     lead = x.shape[:-2]
     n = x.shape[-2] * x.shape[-1]
     xb = x.reshape(lead + (1, n))
-    qs = jnp.asarray(qs, dtype=jnp.float32)
+    # accept scalar q like np.percentile (shape-polymorphic API)
+    qs = jnp.atleast_1d(jnp.asarray(qs, dtype=jnp.float32))
     nq = qs.shape[0]
     v = (n - 1) * qs / 100.0                      # virtual order stats
     k0 = jnp.floor(v)

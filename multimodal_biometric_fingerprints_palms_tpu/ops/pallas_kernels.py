@@ -830,6 +830,11 @@ def _clahe_kernel_v2(v_ref, out_ref, hist_ref, lut_ref, mxw_ref, *,
     4-corner weight mask. ~5x fewer matmul dispatches than the per-row
     4-corner form (small Mosaic matmuls are latency-bound). Requires
     grid == 8 so tile-band rows are 8-aligned dynamic slices."""
+    # The apply phase slices a 24-row LUT band at a*grid with a clamped to
+    # grid-3 and reads mxw_ref[0:24]; in-bounds only when
+    # nt >= (grid-3)*grid + 24, i.e. grid >= 8. clahe_pallas routes
+    # grid != 8 elsewhere — enforce the contract for any direct caller.
+    assert grid == 8, f"_clahe_kernel_v2 requires grid == 8, got {grid}"
     th = h // grid
     tw = w // grid
     tile_area = th * tw

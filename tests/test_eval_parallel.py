@@ -162,8 +162,18 @@ def test_polyu_scale_unique_pairs_equal_single_device():
 
     pairs = unique_pairs(n)
     # 512-pair subset: matches the standardized chunk shape, so the
-    # single-device comparison reuses an already-compiled program
-    sub = pairs[rng.choice(len(pairs), size=512, replace=False)]
+    # single-device comparison reuses an already-compiled program.
+    # Plant 64 known genuine pairs (templates are user-major: user u owns
+    # 4u..4u+3), so the equality below is exercised on pairs that actually
+    # score — a pure random sample of the 1.09M unique pairs at 370 users
+    # contains genuines with probability ~0.55% per pair and can miss
+    # entirely (it did: round-3 red test).
+    users = rng.choice(370, size=64, replace=False)
+    planted = np.stack([4 * users, 4 * users + 1], axis=1).astype(pairs.dtype)
+    sampled = pairs[rng.choice(len(pairs), size=512 - len(planted),
+                               replace=False)]
+    sub = np.concatenate([planted, sampled], axis=0)
+    assert sub.shape == (512, 2)
 
     padded = pad_gallery(gallery, mesh.devices.size)
     s_shard, _ = shard_pairs_scores(padded, sub, mesh, p, chunk=512)
@@ -173,4 +183,8 @@ def test_polyu_scale_unique_pairs_equal_single_device():
     s_single = np.asarray(match_pairs_batch(a, b, p).final_score)
 
     np.testing.assert_allclose(s_shard, s_single, atol=1e-5)
-    assert (np.asarray(s_single) > 0).any()  # sampled subset hits genuines
+    # the planted genuine pairs must actually score, so the equality above
+    # certified real (positive) scores, not an all-zero vector
+    planted_scores = np.asarray(s_single)[: len(planted)]
+    assert (planted_scores > 0).mean() > 0.5
+    assert (np.asarray(s_shard)[: len(planted)] > 0).mean() > 0.5
