@@ -177,19 +177,20 @@ def _reach_kernel(t_ref, s_ref, s1_ref, r_ref, r1_ref, *, h: int, w: int,
 
 def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
                         max_iters: int = 512, interpret: bool = False,
-                        packed: bool = False):
+                        packed: bool = False, union: bool = True):
     """Border reachability on (..., H, W) boolean masks, 32 images per
     int32 plane.
 
     Returns (reach, reach1): pixels of `transparent` connected to ANY
     border pixel of it (= the union of the border-touching components),
     and pixels connected to the single canonical border pixel (minimum
-    linear index). `reach == reach1` iff at most one component touches the
-    border — the cheap exactness test pallas_cc.clean_mask_split uses to
-    decide whether small-hole filtering may skip labeling the (slowly
-    converging) border-connected background. Each sweep costs ~4 segmented
-    OR scans on ONE plane for 32 images, ~32x less data than the int32
-    keyed label relax it replaces."""
+    linear index). With union=False only reach1 is computed (ONE packed
+    fixpoint instead of two) and returned alone — the hole-fill split
+    (pallas_cc._fill_holes_split_kernel) is exact for any number of
+    border components given just the canonical one, so the union pass is
+    pure overhead there. Each sweep costs ~4 segmented OR scans on ONE
+    plane for 32 images, ~32x less data than the int32 keyed label relax
+    it replaces."""
     lead = transparent.shape[:-2]
     h, w = transparent.shape[-2:]
     b = 1
@@ -207,13 +208,30 @@ def border_reach_packed(transparent: jnp.ndarray, connectivity: int = 1,
     seed1 = jnp.logical_and(seeds, lin == first)
 
     tp = pack_bits(t)
-    sp = pack_bits(seeds)
     s1p = pack_bits(seed1)
     nb = tp.shape[0]
-    kern = functools.partial(_reach_kernel, h=h, w=w,
-                             connectivity=connectivity, max_iters=max_iters)
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    if not union:
+        kern1 = functools.partial(_seed_reach_kernel, h=h, w=w,
+                                  connectivity=connectivity,
+                                  max_iters=max_iters)
+        r1 = pl.pallas_call(
+            kern1,
+            grid=(nb,),
+            in_specs=[spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((nb, h, w), jnp.int32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
+        )(tp, s1p)
+        if packed:
+            return r1
+        return unpack_bits(r1, b).reshape(transparent.shape)
+    sp = pack_bits(seeds)
+    kern = functools.partial(_reach_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters)
     r, r1 = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -471,49 +471,48 @@ def cc_filter_pallas(mask: jnp.ndarray, mode: str, connectivity: int = 2,
     return (out > 0.5).reshape(mask.shape)
 
 
-def _fill_holes_split_kernel(mask_ref, reach_ref, reach1_ref, out_ref,
+def _fill_holes_split_kernel(mask_ref, reach1_ref, out_ref,
                              count_ref, lab_ref, sizes_ref, *,
                              h: int, w: int, connectivity: int,
                              max_iters: int, max_size: int):
     """remove_small_holes with the border-connected background pre-resolved
-    by `pallas_bitpack.border_reach_packed` (reach = union of the
-    border-touching background components, reach1 = the canonical one).
-    reach/reach1 arrive as PACKED int32 planes — the BlockSpec maps grid
-    image i to plane i // 32, and bit i % 32 is tested in-kernel, so the
-    packed leg's results never round-trip HBM as f32 masks.
+    by `pallas_bitpack.border_reach_packed` (reach1 = the canonical
+    border-touching component). reach1 arrives as PACKED int32 planes —
+    the BlockSpec maps grid image i to plane i // 32, and bit i % 32 is
+    tested in-kernel, so the packed leg's results never round-trip HBM as
+    f32 masks.
 
-    Exactness: if reach == reach1 (at most ONE component touches the
-    border), that component's size is popcount(reach), so it never needs
-    the slow label relax — only the interior holes do, and those converge
-    in a few sweeps (they are small by definition or they are kept either
-    way). If several components touch the border (reach != reach1
-    somewhere — random-noise masks, not real fingerprints), fall back to
-    relaxing the full background, which is the exact original path. Both
-    cases go through ONE relax on a data-selected mask, so there is no
-    lax.cond and no second compiled body."""
+    Exactness (ANY number of border components): the canonical component
+    reach1 — on real masks the big outside-background/valley network, the
+    slowly converging relax — is excluded from the per-image relax and its
+    fill decision is a closed-form popcount. Everything else (interior
+    holes AND any non-canonical border nubs) relaxes per image and
+    converges in a few sweeps (such components are small or they are kept
+    either way). The earlier form required reach == reach1 and fell back
+    to relaxing the FULL background whenever a second component touched
+    the border — on thin-stage valley masks that fallback made the split
+    cost more than the unsplit kernel (53 vs 25 ms/batch-128)."""
     kept = mask_ref[0] > 0.5
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
-    reach = (lax.shift_right_logical(reach_ref[0], bit) & 1) > 0
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
-    multi = jnp.any(reach != reach1)
-    relax_mask = jnp.logical_and(inv, jnp.logical_or(multi, ~reach))
+    relax_mask = jnp.logical_and(inv, jnp.logical_not(reach1))
     _, sizes = _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
                                 count_ref, lab_ref, sizes_ref)
     fill = jnp.logical_and(relax_mask, sizes < float(max_size))
-    # single border component: closed-form size = popcount
-    npix = jnp.sum(reach.astype(jnp.float32))
-    border_small = jnp.logical_and(~multi, npix < float(max_size))
-    fill = jnp.logical_or(fill, jnp.logical_and(reach, border_small))
+    # canonical border component: closed-form size = popcount
+    npix = jnp.sum(reach1.astype(jnp.float32))
+    fill = jnp.logical_or(
+        fill, jnp.logical_and(reach1, npix < float(max_size)))
     out_ref[0] = jnp.logical_or(kept, fill).astype(jnp.float32)
 
 
-def fill_holes_split_pallas(mask: jnp.ndarray, reach_planes: jnp.ndarray,
-                            reach1_planes: jnp.ndarray, max_size: int,
+def fill_holes_split_pallas(mask: jnp.ndarray, reach1_planes: jnp.ndarray,
+                            max_size: int,
                             connectivity: int = 1, max_iters: int = 512,
                             interpret: bool = False) -> jnp.ndarray:
-    """mask: (..., H, W) bool/f32; reach/reach1: PACKED (ceil(B/32), H, W)
-    int32 planes from `border_reach_packed(..., packed=True)`."""
+    """mask: (..., H, W) bool/f32; reach1: PACKED (ceil(B/32), H, W) int32
+    planes from `border_reach_packed(..., packed=True, union=False)`."""
     lead = mask.shape[:-2]
     h, w = mask.shape[-2:]
     b = 1
@@ -530,7 +529,7 @@ def fill_holes_split_pallas(mask: jnp.ndarray, reach_planes: jnp.ndarray,
     out = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[spec, pspec, pspec],
+        in_specs=[spec, pspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
@@ -539,8 +538,7 @@ def fill_holes_split_pallas(mask: jnp.ndarray, reach_planes: jnp.ndarray,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
-    )(mask.reshape(b, h, w).astype(jnp.float32),
-      reach_planes, reach1_planes)
+    )(mask.reshape(b, h, w).astype(jnp.float32), reach1_planes)
     return (out > 0.5).reshape(mask.shape)
 
 
@@ -550,20 +548,22 @@ def clean_mask_split(mask: jnp.ndarray, min_size: int, max_size: int,
     """remove_small_objects(min_size) + remove_small_holes(max_size)
     (fingerprint_preprocess.py:73-74,167-168 semantics, identical to
     cc_filter_pallas(mode="clean")) with the hole pass split in three:
-    per-image small-object relax -> PACKED border reachability (32 images
-    per int32 plane; the border-connected background is the slowly
-    converging component, mean 27 / max 58 sweeps on real valley masks) ->
-    per-image relax of the interior holes only (a few sweeps). The packed
-    middle leg runs the expensive sweeps at 1/32nd the data volume."""
+    per-image small-object relax -> PACKED canonical border reachability
+    (32 images per int32 plane; the border-connected background is the
+    slowly converging component, mean 27 / max 58 sweeps on real valley
+    masks) -> per-image relax of the interior holes and any non-canonical
+    border nubs (a few sweeps). The packed middle leg runs the expensive
+    sweeps at 1/32nd the data volume."""
     kept = cc_filter_pallas(mask, "remove_small", connectivity=connectivity,
                             min_size=min_size, max_iters=max_iters,
                             interpret=interpret)
     from .pallas_bitpack import border_reach_packed
     inv = jnp.logical_not(kept)
-    reach, reach1 = border_reach_packed(inv, connectivity=connectivity,
-                                        max_iters=max_iters,
-                                        interpret=interpret, packed=True)
-    return fill_holes_split_pallas(kept, reach, reach1, max_size,
+    reach1 = border_reach_packed(inv, connectivity=connectivity,
+                                 max_iters=max_iters,
+                                 interpret=interpret, packed=True,
+                                 union=False)
+    return fill_holes_split_pallas(kept, reach1, max_size,
                                    connectivity=connectivity,
                                    max_iters=max_iters, interpret=interpret)
 

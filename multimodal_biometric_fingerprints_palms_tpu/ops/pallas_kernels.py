@@ -389,30 +389,15 @@ def _nlm_mirror_band(xc, padx, slab, hh: int, ww: int, h_param: float,
     return acc, wacc
 
 
-def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
-                           template: int = 7, search: int = 21,
-                           precision: str = "bf16",
-                           interpret: bool = False) -> jnp.ndarray:
-    """(B, H, W) [0,1] non-local means with symmetric-pair SSD reuse.
-
-    Same math as `ops.denoise.nlm_denoise` up to f32 accumulation ORDER:
-    every per-offset weight and value is bit-identical (the mirror SSD
-    identity is exact, including bf16 rounding, wherever both template
-    windows are interior; elsewhere the ring is recomputed directly), but
-    genuine/mirror terms accumulate in a different order, so results drift
-    by a few 1e-6 from the canonical-order forms. Halves the banded-matmul
-    SSD work — the MXU wall of `nlm_denoise_pallas_blocked`.
-
-    MEASURED (v5e, batch 128 @ 320x256): NOT a win end-to-end — the kernel
-    half (direct + mirror planes) runs 27 ms vs 39 ms for the blocked
-    kernel, but the border-ring correction (`_nlm_mirror_band`) costs
-    ~45 ms in XLA in both its batched-einsum form (a (22,268)-shaped
-    batched matmul pads to 128-tiles at ~3% MXU utilization) and its
-    shift-add form (skinny slab layouts + unfused pads). The pipeline
-    therefore keeps `nlm_denoise_pallas_blocked`; making symmetry pay
-    needs the ring correction inside the Pallas kernel (VMEM-resident
-    sublane-sliced bands). Kept as a bit-exact-tested building block —
-    see docs/PERF.md."""
+def _nlm_sym_planes_small(img: jnp.ndarray, h: float = 10.0,
+                          template: int = 7, search: int = 21,
+                          precision: str = "bf16",
+                          interpret: bool = False) -> jnp.ndarray:
+    """Small-shape symmetric-pair NLM (dy-paired, mirror planes in HBM,
+    XLA slab ring). Superseded on production shapes by the dx-paired
+    scratch-mirror kernel (`nlm_denoise_pallas_sym`), which needs
+    h, w >= 2*(search//2 + 3) for its disjoint border bands; this path
+    keeps arbitrary tiny shapes (tests, odd crops) bit-correct."""
     b, hh, ww = img.shape
     r = search // 2
     ring = r + 3                  # mirror-valid destination margin
@@ -494,6 +479,395 @@ def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
                                   search, dt)
         acc = acc.at[:, a_:b_, c0_:c1_].add(sa)
         wacc = wacc.at[:, a_:b_, c0_:c1_].add(sw)
+    return acc / jnp.maximum(wacc, 1e-8)
+
+
+def _shift_lanes_dyn(v: jnp.ndarray, s, fill: float) -> jnp.ndarray:
+    """out[c] = v[c - s] with dynamic s <= 0 (lane roll + edge mask).
+    Dynamic lane rotates need 32-bit data and 128-aligned lane counts —
+    v is f32 and production widths are 256/320-padded."""
+    size = v.shape[-1]
+    idx = lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    rolled = pltpu.roll(v, size + s, axis=v.ndim - 1)
+    return jnp.where(idx >= size + s, fill, rolled)
+
+
+def _nlm_kernel_sym2(img_ref, strip_ref, acc_out, wacc_out,
+                     acc_ref, wacc_ref, macc_ref, mwacc_ref, *,
+                     h_param: float, template: int, search: int, bf16: bool):
+    """dx-paired symmetric NLM: grid step d handles direct offsets
+    dx = d - r (dx in [-r..0], all 21 dy) AND their mirrors (-dy, -dx).
+    The mirror contribution msum[q] = plane_o[q - o] is accumulated in
+    VMEM scratch — the row part of the shift (dy) is STATIC (dy is the
+    unrolled loop), the lane part (dx = d - r) is ONE dynamic lane roll
+    per grid step — so no mirror planes ever touch HBM (the dy-paired
+    variant wrote 2x(B,11,H,W) f32 planes, ~1.8 GB round-trip per
+    batch-128). Mirror terms are masked to the interior box in-kernel;
+    the border ring is recomputed by `_nlm_ring_pallas`."""
+    d = pl.program_id(1)
+    r = search // 2
+    ndx = r + 1
+    x = img_ref[0]
+    hh, ww = x.shape
+    hn2 = (h_param / 255.0) ** 2
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    inv_f = jnp.float32(-1.0 / hn2 / float(template * template))
+    f32 = jnp.float32
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wacc_ref[:] = jnp.zeros_like(wacc_ref)
+        macc_ref[:] = jnp.zeros_like(macc_ref)
+        mwacc_ref[:] = jnp.zeros_like(mwacc_ref)
+
+    xc = x.astype(dt)
+    strip = strip_ref[0, 0]                    # (H+2r, W), dtype dt
+
+    t_r = template // 2
+    mm_dt = dt
+    prec = (None if bf16 else lax.Precision.HIGHEST)
+    b_h = _box_band(hh, t_r).astype(mm_dt)
+    b_w = _box_band(ww, t_r).astype(mm_dt)
+
+    last = jnp.float32(d == ndx - 1)           # dx == 0 on the last step
+    acc = acc_ref[:]
+    wacc = wacc_ref[:]
+    sv = jnp.zeros((hh, ww), f32)
+    sw = jnp.zeros((hh, ww), f32)
+    for dyi in range(search):
+        dy = dyi - r
+        shifted = strip[dyi:dyi + hh, :]
+        diff = xc - shifted
+        dsq = (diff * diff).astype(mm_dt)
+        tmp = lax.dot_general(b_h, dsq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        d2 = lax.dot_general(tmp.astype(mm_dt), b_w,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+        wgt = jnp.exp(d2 * inv_f).astype(dt)
+        # direct (dy, dx): all dy when dx < 0; only dy <= 0 when dx == 0
+        sd = jnp.float32(1.0) if dy <= 0 else 1.0 - last
+        acc = acc + sd * (wgt * shifted).astype(f32)
+        wacc = wacc + sd * wgt.astype(f32)
+        # mirror (-dy, -dx): all dy when dx < 0; only dy < 0 when dx == 0
+        sm = jnp.float32(1.0) if dy < 0 else 1.0 - last
+        pv = sm * (wgt * xc).astype(f32)
+        pw = sm * wgt.astype(f32)
+        sv = sv + _shift_no_wrap(pv, dy, 0, 0.0)
+        sw = sw + _shift_no_wrap(pw, dy, 0, 0.0)
+    acc_ref[:] = acc
+    wacc_ref[:] = wacc
+    dx_dyn = d - (ndx - 1)                     # <= 0
+    macc = macc_ref[:] + _shift_lanes_dyn(sv, dx_dyn, 0.0)
+    mwacc = mwacc_ref[:] + _shift_lanes_dyn(sw, dx_dyn, 0.0)
+    macc_ref[:] = macc
+    mwacc_ref[:] = mwacc
+
+    @pl.when(d == ndx - 1)
+    def _():
+        ring = r + 3
+        rows_i = lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+        cols_i = lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+        interior = ((rows_i >= ring) & (rows_i < hh - ring)
+                    & (cols_i >= ring) & (cols_i < ww - ring))
+        acc_out[0] = acc_ref[:] + jnp.where(interior, macc, 0.0)
+        wacc_out[0] = wacc_ref[:] + jnp.where(interior, mwacc, 0.0)
+
+
+def _box7_up_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = sum_{t=0..6} v[i+t] over sublanes, f32 accumulation
+    (log-tree; matches the banded-matmul box to f32 rounding)."""
+    p1 = v.astype(jnp.float32)
+    p2 = p1 + _shift_no_wrap(p1, -1, 0, 0.0)
+    p4 = p2 + _shift_no_wrap(p2, -2, 0, 0.0)
+    return (p4 + _shift_no_wrap(p2, -4, 0, 0.0)
+            + _shift_no_wrap(p1, -6, 0, 0.0))
+
+
+def _nlm_ring_kernel(xband_ref, slab_ref, acc_out, wacc_out,
+                     racc_ref, rwacc_ref, *, h_param: float, template: int,
+                     search: int, dxs: tuple, keep_thresh: int,
+                     lane_first: bool, bf16: bool, wl: int, csub: int,
+                     n_real: int):
+    """Border-band mirror-half recompute for the dx-paired sym kernel.
+
+    One grid step = one (image, csub row-offsets) pair; the row offsets
+    are baked into the slab input's BlockSpec index (dynamic sublane
+    slices can't be proven aligned in Mosaic). The two 16-row bands
+    (first/last 13 dest rows + 3-row box margin) are stacked with their
+    per-block symmetric fold rows PRE-ASSEMBLED host-side into 24-row
+    blocks ([3 fold][16 top data][16 bottom data][3 fold][2 zero]), one
+    40-row block per (substep, lane offset in `dxs`) — so the template box
+    is a single shift-add pass + ONE banded matmul over the whole stacked
+    (40*len(dxs)*csub, wl) tensor instead of per-offset small matmuls
+    (latency-bound at ~1k dispatches/image; one-substep grids were
+    dominated by grid-step overhead at 21 steps/image). `lane_first`
+    applies the lane-dim box before the sublane box, preserving the
+    oracle's rows-then-cols f32/bf16 rounding order when the caller hands
+    a transposed frame. A block's mirror offset is kept iff its global
+    row-offset index g = d*csub + sub is real (g < n_real) and (its lane
+    offset > 0 or g > keep_thresh) — the unified rule for both the
+    row-frame and transposed-frame mirror halves."""
+    d = pl.program_id(1)
+    hn2 = (h_param / 255.0) ** 2
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    inv_f = jnp.float32(-1.0 / hn2 / float(template * template))
+    f32 = jnp.float32
+    t_r = template // 2
+    pp = search // 2 + t_r                     # slab col padding
+    mm_dt = dt
+    prec = (None if bf16 else lax.Precision.HIGHEST)
+
+    @pl.when(d == 0)
+    def _():
+        racc_ref[:] = jnp.zeros_like(racc_ref)
+        rwacc_ref[:] = jnp.zeros_like(rwacc_ref)
+
+    xb = xband_ref[0]                          # (40, wl), dt
+    nblk = len(dxs) * csub
+    xs = jnp.concatenate([xb] * nblk, axis=0)
+    # Slice every dx block at the SAME lane offset (Mosaic cannot
+    # concatenate vectors whose lane-pad phases differ) by rolling the
+    # slab instead — static f32 lane rolls on a 128-aligned width.
+    pieces = []
+    for sub in range(csub):
+        sl32 = slab_ref[0, 0, 40 * sub:40 * (sub + 1)].astype(jnp.float32)
+        for dx in dxs:
+            pieces.append(_shift_no_wrap(sl32, -dx, 1, 0.0)[:, pp:pp + wl])
+    shifted = jnp.concatenate(pieces, axis=0).astype(dt)
+    diff = xs - shifted
+    dsq = (diff * diff).astype(mm_dt)
+    b_w = _box_band(wl, t_r).astype(mm_dt)
+    if lane_first:
+        tmp = lax.dot_general(dsq, b_w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        d2 = _box7_up_f32(tmp.astype(mm_dt))
+    else:
+        tmp = _box7_up_f32(dsq).astype(mm_dt)
+        d2 = lax.dot_general(tmp, b_w, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    # d2 for dest p sits 3 block-rows above p's value row: realign BEFORE
+    # the exp, in f32 (Mosaic sublane rotates need 32-bit data). The dest
+    # mask and the per-block keep rule are baked in as an additive penalty
+    # (exp of a huge negative -> exact 0), saving the two full-size mask
+    # multiplies per accumulator.
+    d2sh = _shift_no_wrap(d2, 3, 0, 0.0)
+    n = 40 * nblk
+    ridx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    br = ridx - (ridx // 40) * 40
+    destm = jnp.logical_or(jnp.logical_and(br >= 3, br < 16),
+                           jnp.logical_and(br >= 22, br < 35)).astype(f32)
+    keeps = []
+    for sub in range(csub):
+        g = d * csub + sub                     # global row-offset index
+        real = jnp.where(g < n_real, 1.0, 0.0).astype(f32)
+        kd = jnp.where(g > keep_thresh, 1.0, 0.0).astype(f32) * real
+        for dx in dxs:
+            keeps.append(jnp.broadcast_to(real if dx > 0 else kd, (40, 1)))
+    pen = (1.0 - destm * jnp.concatenate(keeps, axis=0)) * jnp.float32(1e9)
+    wsh = jnp.exp((d2sh + pen) * inv_f).astype(dt)
+    cacc = (wsh * shifted).astype(f32)
+    cw = wsh.astype(f32)
+    racc = racc_ref[:]
+    rwacc = rwacc_ref[:]
+    for bi in range(nblk):
+        racc = racc + cacc[40 * bi:40 * (bi + 1)]
+        rwacc = rwacc + cw[40 * bi:40 * (bi + 1)]
+    racc_ref[:] = racc
+    rwacc_ref[:] = rwacc
+
+    @pl.when(d == pl.num_programs(1) - 1)
+    def _():
+        acc_out[0] = racc_ref[:]
+        wacc_out[0] = rwacc_ref[:]
+
+
+def _nlm_ring_pallas(xc: jnp.ndarray, h: float, template: int, search: int,
+                     dt, mode: str, interpret: bool):
+    """Mirror-half ring sums for the first/last 13 rows of the given frame.
+
+    xc: (B, H', W') in the compute dtype. mode="rows": this is the image
+    frame — steps sweep row offsets [-r..r], lane offsets [0..r], mirror
+    set {dx>0} | {dx=0, dy>0}. mode="cols": xc is the TRANSPOSED image —
+    steps sweep the original dx in [0..r] (as T-row offsets), lanes the
+    original dy in [-r..r], and the box order is swapped so the original
+    row box still runs first. Returns (acc, wacc): (B, 40, W') f32 with
+    dest rows at [3:16] (first band) and [22:35] (last band)."""
+    b, hh, ww = xc.shape
+    r = search // 2
+    t_r = template // 2
+    pp = r + t_r
+    xpad = jnp.pad(xc, [(0, 0), (pp, pp), (pp, pp)], mode="reflect")
+    if mode == "rows":
+        rofs = list(range(-r, r + 1))
+        dxs = tuple(range(0, r + 1))
+        keep_thresh = r
+        lane_first = False
+    else:
+        rofs = list(range(0, r + 1))
+        dxs = tuple(range(-r, r + 1))
+        keep_thresh = 0
+        lane_first = True
+    z2 = jnp.zeros((b, 2, ww + 2 * pp), dt)
+
+    def band40(ro: int):
+        """[3 fold][16 top data][16 bottom data][3 fold][2 zero]."""
+        return jnp.concatenate(
+            [xpad[:, pp + 2 + ro:pp + 3 + ro],
+             xpad[:, pp + 1 + ro:pp + 2 + ro],
+             xpad[:, pp + ro:pp + 1 + ro],
+             xpad[:, pp + ro:pp + ro + 16],
+             xpad[:, pp + hh - 16 + ro:pp + hh + ro],
+             xpad[:, pp + hh - 1 + ro:pp + hh + ro],
+             xpad[:, pp + hh - 2 + ro:pp + hh - 1 + ro],
+             xpad[:, pp + hh - 3 + ro:pp + hh - 2 + ro],
+             z2], axis=1)
+
+    zx = jnp.zeros((b, 2, ww), dt)
+    xband = jnp.concatenate(
+        [xc[:, 2:3], xc[:, 1:2], xc[:, 0:1], xc[:, 0:16],
+         xc[:, hh - 16:hh], xc[:, hh - 1:hh], xc[:, hh - 2:hh - 1],
+         xc[:, hh - 3:hh - 2], zx], axis=1)
+    # chunk csub row-offset substeps per grid step: 21 one-substep steps
+    # per image were grid-overhead-bound (~12 ms standalone; the math is
+    # ~2 ms)
+    n_real = len(rofs)
+    csub = 7 if n_real % 7 == 0 else 4
+    npadded = -(-n_real // csub) * csub
+    rofs = rofs + [rofs[-1]] * (npadded - n_real)
+    nsteps = npadded // csub
+    slabs = jnp.stack([band40(ro) for ro in rofs], axis=1)
+    # pad lanes to a 128 multiple: the in-kernel lane rolls that align the
+    # dx slices need an aligned width
+    wpad = -(-(ww + 2 * pp) // 128) * 128
+    slabs = jnp.pad(slabs, [(0, 0), (0, 0), (0, 0),
+                            (0, wpad - (ww + 2 * pp))])
+    slabs = slabs.reshape(b, nsteps, 40 * csub, wpad)
+    kern = functools.partial(
+        _nlm_ring_kernel, h_param=h, template=template, search=search,
+        dxs=dxs, keep_thresh=keep_thresh, lane_first=lane_first,
+        bf16=dt == jnp.bfloat16, wl=ww, csub=csub, n_real=n_real)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nsteps),
+        in_specs=[
+            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 40 * csub, wpad), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 40, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, 40, ww), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((40, ww), jnp.float32),
+            pltpu.VMEM((40, ww), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xband, slabs)
+
+
+def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
+                           template: int = 7, search: int = 21,
+                           precision: str = "bf16",
+                           interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W) [0,1] non-local means with symmetric-pair SSD reuse.
+
+    Same math as `ops.denoise.nlm_denoise` (cv2.fastNlMeansDenoising
+    semantics, fingerprint_preprocess.py:36) up to f32 accumulation ORDER:
+    every per-offset weight and value is bit-identical (the mirror SSD
+    identity dsq_{-o}(q) == dsq_o(q-o) is exact, including bf16 rounding,
+    wherever both template windows are interior; the 13-px border ring is
+    recomputed directly by `_nlm_ring_pallas` band kernels), but direct/
+    mirror terms accumulate in a different order, so results drift by a
+    few 1e-6 from the canonical-order forms. Halves the banded-matmul SSD
+    work — the MXU wall of `nlm_denoise_pallas_blocked` — and keeps the
+    mirror transport entirely in VMEM (the earlier dy-paired variant
+    round-tripped ~1.8 GB of mirror planes through HBM per batch-128 and
+    needed an XLA ring that cost more than the kernel saved)."""
+    b, hh, ww = img.shape
+    r = search // 2
+    ring = r + 3
+    if hh < 2 * ring or ww < 2 * ring:
+        return _nlm_sym_planes_small(img, h, template, search, precision,
+                                     interpret)
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    x = img.astype(jnp.float32)
+    xc = x.astype(dt)
+    padx = jnp.pad(xc, [(0, 0), (r, r), (r, r)], mode="reflect")
+    ndx = r + 1
+    # strips[d] = reflect-padded rows, cols [d, d+W) — the dx = d - r
+    # column offset is baked into the strip so in-kernel dy slices stay
+    # static (sublane) and aligned-free.
+    strips = jnp.stack([padx[:, :, d:d + ww] for d in range(ndx)], axis=1)
+    kern = functools.partial(_nlm_kernel_sym2, h_param=h, template=template,
+                             search=search, bf16=precision == "bf16")
+    hp = hh + 2 * r
+    acc, wacc = pl.pallas_call(
+        kern,
+        grid=(b, ndx),
+        in_specs=[
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hp, ww), lambda i, d: (i, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hh, ww), lambda i, d: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, strips)
+
+    # Border ring: first/last 13 rows at full width from the row-frame
+    # band kernel; left/right 13-col strips (corner rows excluded) from
+    # the transposed frame. Assembled by concat into ONE full-frame
+    # correction per accumulator (eight .at[].add slices each forced a
+    # full-array copy).
+    racc, rwacc = _nlm_ring_pallas(xc, h, template, search, dt, "rows",
+                                   interpret)
+    xct = jnp.swapaxes(xc, 1, 2)
+    cacc, cwacc = _nlm_ring_pallas(xct, h, template, search, dt, "cols",
+                                   interpret)
+    midz = jnp.zeros((b, hh - 26, ww - 26), jnp.float32)
+
+    def assemble(rows_corr, cols_corr):
+        left = jnp.swapaxes(cols_corr[:, 3:16, 13:hh - 13], 1, 2)
+        right = jnp.swapaxes(cols_corr[:, 22:35, 13:hh - 13], 1, 2)
+        mid = jnp.concatenate([left, midz, right], axis=2)
+        return jnp.concatenate(
+            [rows_corr[:, 3:16], mid, rows_corr[:, 22:35]], axis=1)
+
+    acc = acc + assemble(racc, cacc)
+    wacc = wacc + assemble(rwacc, cwacc)
     return acc / jnp.maximum(wacc, 1e-8)
 
 
@@ -686,28 +1060,26 @@ def _binarize_front(img_ref, bin2_ref, hist_ref, *, h: int, w: int,
     lax.fori_loop(0, h // 8, refine_chunk, None)
 
 
-def _binarize_phase2_kernel(kept_ref, reach_ref, reach1_ref, out_ref,
+def _binarize_phase2_kernel(kept_ref, reach1_ref, out_ref,
                             count_ref, lab_ref, sizes_ref, *,
                             h: int, w: int, max_size: int, cc_iters: int):
     """Hole fill (split exactness logic, see pallas_cc._fill_holes_split_
-    kernel; reach/reach1 arrive as packed int32 planes, bit i % 32 of
+    kernel; reach1 arrives as packed int32 planes, bit i % 32 of
     plane i // 32). The open/erode/reconstruction tail runs bit-packed
     afterwards (pallas_bitpack.open_erode_reconstruct_packed)."""
     from .pallas_cc import _relax_and_sizes
 
     kept = kept_ref[0] > 0.5
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
-    reach = (lax.shift_right_logical(reach_ref[0], bit) & 1) > 0
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
-    multi = jnp.any(reach != reach1)
-    relax_mask = jnp.logical_and(inv, jnp.logical_or(multi, ~reach))
+    relax_mask = jnp.logical_and(inv, jnp.logical_not(reach1))
     _, sizes2 = _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
                                  count_ref, lab_ref, sizes_ref)
     fill = jnp.logical_and(relax_mask, sizes2 < float(max_size))
-    npix = jnp.sum(reach.astype(jnp.float32))
-    border_small = jnp.logical_and(~multi, npix < float(max_size))
-    fill = jnp.logical_or(fill, jnp.logical_and(reach, border_small))
+    npix = jnp.sum(reach1.astype(jnp.float32))
+    fill = jnp.logical_or(
+        fill, jnp.logical_and(reach1, npix < float(max_size)))
     out_ref[0] = jnp.logical_or(kept, fill).astype(jnp.float32)
 
 
@@ -756,9 +1128,10 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(img_eq.reshape(b, h, w).astype(jnp.float32))
 
-    reach, reach1 = border_reach_packed(kept < 0.5, connectivity=1,
-                                        max_iters=cc_iters,
-                                        interpret=interpret, packed=True)
+    reach1 = border_reach_packed(kept < 0.5, connectivity=1,
+                                 max_iters=cc_iters,
+                                 interpret=interpret, packed=True,
+                                 union=False)
 
     k2 = functools.partial(_binarize_phase2_kernel, h=h, w=w,
                            max_size=max_size, cc_iters=cc_iters)
@@ -767,7 +1140,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
     cleaned = pl.pallas_call(
         k2,
         grid=(b,),
-        in_specs=[spec, pspec, pspec],
+        in_specs=[spec, pspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
@@ -776,7 +1149,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(kept, reach, reach1)
+    )(kept, reach1)
     out = open_erode_reconstruct_packed(cleaned > 0.5, max_iters=cc_iters,
                                         interpret=interpret)
     return out.reshape(img_eq.shape)

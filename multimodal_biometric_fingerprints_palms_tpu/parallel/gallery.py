@@ -195,7 +195,8 @@ def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
                        params: MatchParams = MatchParams(),
                        axis_name: str = "gallery",
                        chunk: int = 2048,
-                       use_pallas: bool | None = None) -> np.ndarray:
+                       use_pallas: bool | None = None,
+                       anchors: bool = True) -> np.ndarray:
     """Cascade screen over an explicit pair list: (P,) bool promotion mask.
     On TPU this skips the matcher's finish stage entirely
     (`screen_pairs_batch_pallas`); the CPU fallback derives the mask from
@@ -211,14 +212,15 @@ def shard_pairs_screen(gallery: MinutiaeSet, pairs, mesh: Mesh,
     if pad:
         pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
 
-    fn = _pairs_screen_jit(mesh, axis_name, params, chunk, use_pallas)
+    fn = _pairs_screen_jit(mesh, axis_name, params, chunk, use_pallas,
+                           anchors)
     out = fn(jnp.asarray(pairs), gallery)
     return np.asarray(out)[:p_total]
 
 
 @functools.lru_cache(maxsize=32)
 def _pairs_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
-                      chunk: int, use_pallas: bool):
+                      chunk: int, use_pallas: bool, anchors: bool = True):
     """Cached jitted program for `shard_pairs_screen` (see
     `_pairs_scores_jit` for why)."""
     spec = P(axis_name)
@@ -227,7 +229,7 @@ def _pairs_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
     from ..matching.ransac import screen_promote_batch
 
     def screen(a, b):
-        return screen_promote_batch(a, b, params, use_pallas)
+        return screen_promote_batch(a, b, params, use_pallas, anchors)
 
     def device_fn(local_pairs, g: MinutiaeSet):
         chunks = local_pairs.reshape(-1, chunk, 2)
@@ -257,7 +259,8 @@ def shard_blocks_screen(gallery: MinutiaeSet, mesh: Mesh,
                         params: MatchParams,
                         axis_name: str = "gallery",
                         block: int = 64,
-                        use_pallas: bool | None = None):
+                        use_pallas: bool | None = None,
+                        anchors: bool = True):
     """Cascade screen over ALL unique pairs in (block x block) template
     tiles: each device dynamic-slices two ``block``-template rows out of
     the replicated gallery and screens their full cross product — no
@@ -279,21 +282,22 @@ def shard_blocks_screen(gallery: MinutiaeSet, mesh: Mesh,
     pad = n_dev * per_dev - nbp
     if pad:
         bp = np.concatenate([bp, np.tile(bp[-1:], (pad, 1))])
-    fn = _blocks_screen_jit(mesh, axis_name, params, block, use_pallas)
+    fn = _blocks_screen_jit(mesh, axis_name, params, block, use_pallas,
+                            anchors)
     mask = np.asarray(fn(jnp.asarray(bp), gpad))[:nbp]
     return bp[:nbp], mask
 
 
 @functools.lru_cache(maxsize=32)
 def _blocks_screen_jit(mesh: Mesh, axis_name: str, params: MatchParams,
-                       block: int, use_pallas: bool):
+                       block: int, use_pallas: bool, anchors: bool = True):
     spec = P(axis_name)
     rep = MinutiaeSet(*([P()] * len(MinutiaeSet._fields)))
 
     from ..matching.ransac import screen_promote_batch
 
     def screen(a, b):
-        return screen_promote_batch(a, b, params, use_pallas)
+        return screen_promote_batch(a, b, params, use_pallas, anchors)
 
     # The block cross product is screened in standard 512-pair chunks
     # (block*block = 4096 pairs as one matcher batch made the CPU-mesh
@@ -339,7 +343,8 @@ def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
                      chunk: int = 2048,
                      cascade: bool = True,
                      screen_iters: int = 32,
-                     use_pallas: bool | None = None) -> np.ndarray:
+                     use_pallas: bool | None = None,
+                     anchors: bool = True) -> np.ndarray:
     """All unique template pairs of a gallery, scored with the two-phase
     cascade (host-orchestrated): a cheap ``screen_iters``-hypothesis pass
     over every pair, then the full ``params.ransac_iter`` pass only on the
@@ -360,7 +365,7 @@ def all_pairs_unique(gallery: MinutiaeSet, mesh: Mesh,
         min_inliers=max(3, params.min_inliers - 2))
     block = 64
     bp, mask = shard_blocks_screen(gallery, mesh, screen_p, axis_name,
-                                   block, use_pallas)
+                                   block, use_pallas, anchors)
     # Map promoted (block-pair, local-k) entries back to unique-pair slots:
     # a-side is repeat-major, b-side tile-minor, so k = i_local*B + j_local.
     il, jl = np.divmod(np.arange(block * block), block)

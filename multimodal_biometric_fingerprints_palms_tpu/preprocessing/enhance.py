@@ -208,15 +208,15 @@ def thinning_and_cleaning(binary_smooth: jnp.ndarray, reliability: jnp.ndarray,
     ops than per-image f32 thinning."""
     rel_smooth = gaussian_blur(reliability, 2.0)
     if _auto_pallas(use_pallas):
-        from ..ops.pallas_cc import cc_filter_pallas
+        from ..ops.pallas_cc import clean_mask_split
         from ..ops.pallas_bitpack import zs_thin_bitpacked
-        # NOT clean_mask_split: the smoothed ridge mask's inverse is a valley
-        # network whose components almost all touch the border, so the packed
-        # border-reach witness fails and the split pays BOTH the packed pass
-        # and the full-relax fallback (53 ms vs 25 ms measured). The split
-        # only pays on binarize's masks (one border background component).
-        cleaned = cc_filter_pallas(binary_smooth, "clean", connectivity=1,
-                                   min_size=64, max_size=80)
+        # clean_mask_split: the slowly converging border-connected valley
+        # network (mean 27 / max 58 sweeps) relaxes bit-packed, 32 images
+        # per int32 plane; the per-image relax only sees interior holes
+        # and non-canonical border nubs (exact for any border-component
+        # count — the earlier one-border-component witness failed on
+        # valley networks and made the split cost 53 vs 25 ms here).
+        cleaned = clean_mask_split(binary_smooth, 64, 80, connectivity=1)
         gated = jnp.logical_and(cleaned, rel_smooth > rel_thresh)
         return zs_thin_bitpacked(gated, prune=True)
     mask = clean_mask(binary_smooth, 64, 80, connectivity=1)
