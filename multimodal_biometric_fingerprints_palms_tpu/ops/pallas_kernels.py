@@ -587,198 +587,182 @@ def _box7_up_f32(v: jnp.ndarray) -> jnp.ndarray:
             + _shift_no_wrap(p1, -6, 0, 0.0))
 
 
-def _nlm_ring_kernel(xband_ref, slab_ref, acc_out, wacc_out,
-                     racc_ref, rwacc_ref, *, h_param: float, template: int,
-                     search: int, dxs: tuple, keep_thresh: int,
-                     lane_first: bool, bf16: bool, wl: int, csub: int,
-                     n_real: int):
+def _nlm_ring_kernel(xband_ref, top_ref, bot_ref, acc_out, wacc_out, *,
+                     h_param: float, template: int, search: int,
+                     dxs: tuple, keep_thresh: int, lane_first: bool,
+                     bf16: bool, wl: int, rofs: tuple):
     """Border-band mirror-half recompute for the dx-paired sym kernel.
 
-    One grid step = one (image, csub row-offsets) pair; the row offsets
-    are baked into the slab input's BlockSpec index (dynamic sublane
-    slices can't be proven aligned in Mosaic). The two 16-row bands
-    (first/last 13 dest rows + 3-row box margin) are stacked with their
-    per-block symmetric fold rows PRE-ASSEMBLED host-side into 24-row
-    blocks ([3 fold][16 top data][16 bottom data][3 fold][2 zero]), one
-    40-row block per (substep, lane offset in `dxs`) — so the template box
-    is a single shift-add pass + ONE banded matmul over the whole stacked
-    (40*len(dxs)*csub, wl) tensor instead of per-offset small matmuls
-    (latency-bound at ~1k dispatches/image; one-substep grids were
-    dominated by grid-step overhead at 21 steps/image). `lane_first`
-    applies the lane-dim box before the sublane box, preserving the
-    oracle's rows-then-cols f32/bf16 rounding order when the caller hands
-    a transposed frame. A block's mirror offset is kept iff its global
-    row-offset index g = d*csub + sub is real (g < n_real) and (its lane
-    offset > 0 or g > keep_thresh) — the unified rule for both the
-    row-frame and transposed-frame mirror halves."""
-    d = pl.program_id(1)
+    One grid step = one image; the 40-row offset bands (3 symmetric fold
+    rows + 16 top data rows + 16 bottom data rows + 3 folds + 2 zeros) are
+    assembled IN-KERNEL from two 40-row border blocks of the reflect-
+    padded frame via static sublane slices — the previous design
+    pre-assembled one 40-row slab per (substep, row offset) host-side,
+    and that XLA concat graph cost ~5 ms/call at batch 128, more than the
+    kernel itself. Lane offsets run as a static per-dx roll of the whole
+    stacked band tensor; per-dx contributions accumulate positionally and
+    the per-offset-block sums collapse once at the end. `lane_first`
+    applies the lane-dim template box before the sublane box, preserving
+    the oracle's rows-then-cols rounding order when the caller hands a
+    transposed frame. An offset block g at lane offset dx contributes iff
+    dx > 0 or g > keep_thresh — the mirror-half rule for both frames."""
     hn2 = (h_param / 255.0) ** 2
     dt = jnp.bfloat16 if bf16 else jnp.float32
     inv_f = jnp.float32(-1.0 / hn2 / float(template * template))
     f32 = jnp.float32
     t_r = template // 2
-    pp = search // 2 + t_r                     # slab col padding
-    mm_dt = dt
+    pp = search // 2 + t_r
     prec = (None if bf16 else lax.Precision.HIGHEST)
 
-    @pl.when(d == 0)
-    def _():
-        racc_ref[:] = jnp.zeros_like(racc_ref)
-        rwacc_ref[:] = jnp.zeros_like(rwacc_ref)
+    top = top_ref[0].astype(f32)          # (40, wpad): xpad rows [0, 40)
+    bot = bot_ref[0].astype(f32)          # (40, wpad): xpad rows [-40, 0)
+    wpad = top.shape[1]
+    z2 = jnp.zeros((2, wpad), f32)
+    base = 24 - pp                        # bot idx of xpad row pp+hh-16
+    bands = []
+    for ro in rofs:
+        bands.append(top[pp + 2 + ro:pp + 3 + ro])
+        bands.append(top[pp + 1 + ro:pp + 2 + ro])
+        bands.append(top[pp + ro:pp + 1 + ro])
+        bands.append(top[pp + ro:pp + ro + 16])
+        bands.append(bot[base + ro:base + ro + 16])
+        bands.append(bot[base + ro + 15:base + ro + 16])
+        bands.append(bot[base + ro + 14:base + ro + 15])
+        bands.append(bot[base + ro + 13:base + ro + 14])
+        bands.append(z2)
+    A = jnp.concatenate(bands, axis=0)    # (40*len(rofs), wpad) f32
 
-    xb = xband_ref[0]                          # (40, wl), dt
-    nblk = len(dxs) * csub
-    xs = jnp.concatenate([xb] * nblk, axis=0)
-    # Slice every dx block at the SAME lane offset (Mosaic cannot
-    # concatenate vectors whose lane-pad phases differ) by rolling the
-    # slab instead — static f32 lane rolls on a 128-aligned width.
-    pieces = []
-    for sub in range(csub):
-        sl32 = slab_ref[0, 0, 40 * sub:40 * (sub + 1)].astype(jnp.float32)
-        for dx in dxs:
-            pieces.append(_shift_no_wrap(sl32, -dx, 1, 0.0)[:, pp:pp + wl])
-    shifted = jnp.concatenate(pieces, axis=0).astype(dt)
-    diff = xs - shifted
-    dsq = (diff * diff).astype(mm_dt)
-    b_w = _box_band(wl, t_r).astype(mm_dt)
-    if lane_first:
-        tmp = lax.dot_general(dsq, b_w, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
-        d2 = _box7_up_f32(tmp.astype(mm_dt))
-    else:
-        tmp = _box7_up_f32(dsq).astype(mm_dt)
-        d2 = lax.dot_general(tmp, b_w, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
-    # d2 for dest p sits 3 block-rows above p's value row: realign BEFORE
-    # the exp, in f32 (Mosaic sublane rotates need 32-bit data). The dest
-    # mask and the per-block keep rule are baked in as an additive penalty
-    # (exp of a huge negative -> exact 0), saving the two full-size mask
-    # multiplies per accumulator.
-    d2sh = _shift_no_wrap(d2, 3, 0, 0.0)
-    n = 40 * nblk
+    xb = xband_ref[0]                     # (40, wl), dt
+    nro = len(rofs)
+    n = 40 * nro
+    xs = jnp.concatenate([xb] * nro, axis=0).astype(dt)
+    b_w = _box_band(wl, t_r).astype(dt)
+
+    # Mosaic forbids captured array constants: build the dest/keep masks
+    # from iota. destm marks the 13+13 dest rows of each 40-row block;
+    # the dx<=0 variant additionally requires block index g > keep_thresh.
     ridx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     br = ridx - (ridx // 40) * 40
+    gidx = ridx // 40
     destm = jnp.logical_or(jnp.logical_and(br >= 3, br < 16),
                            jnp.logical_and(br >= 22, br < 35)).astype(f32)
-    keeps = []
-    for sub in range(csub):
-        g = d * csub + sub                     # global row-offset index
-        real = jnp.where(g < n_real, 1.0, 0.0).astype(f32)
-        kd = jnp.where(g > keep_thresh, 1.0, 0.0).astype(f32) * real
-        for dx in dxs:
-            keeps.append(jnp.broadcast_to(real if dx > 0 else kd, (40, 1)))
-    pen = (1.0 - destm * jnp.concatenate(keeps, axis=0)) * jnp.float32(1e9)
-    wsh = jnp.exp((d2sh + pen) * inv_f).astype(dt)
-    cacc = (wsh * shifted).astype(f32)
-    cw = wsh.astype(f32)
-    racc = racc_ref[:]
-    rwacc = rwacc_ref[:]
-    for bi in range(nblk):
-        racc = racc + cacc[40 * bi:40 * (bi + 1)]
-        rwacc = rwacc + cw[40 * bi:40 * (bi + 1)]
-    racc_ref[:] = racc
-    rwacc_ref[:] = rwacc
+    gk = (gidx > keep_thresh).astype(f32)
+    pen_all = (1.0 - destm) * jnp.float32(1e9)
+    pen_keep = (1.0 - destm * gk) * jnp.float32(1e9)
 
-    @pl.when(d == pl.num_programs(1) - 1)
-    def _():
-        acc_out[0] = racc_ref[:]
-        wacc_out[0] = rwacc_ref[:]
+    acc = jnp.zeros((n, wl), f32)
+    wacc = jnp.zeros((n, wl), f32)
+    for dx in dxs:
+        sh = _shift_no_wrap(A, -dx, 1, 0.0)[:, pp:pp + wl].astype(dt)
+        diff = xs - sh
+        dsq = (diff * diff).astype(dt)
+        if lane_first:
+            tmp = lax.dot_general(dsq, b_w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+            d2 = _box7_up_f32(tmp.astype(dt))
+        else:
+            tmp = _box7_up_f32(dsq).astype(dt)
+            d2 = lax.dot_general(tmp, b_w, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        # d2 for dest p sits 3 block-rows above p's value row: realign
+        # BEFORE the exp (cross-block bleed lands on masked rows). The
+        # dest mask and the per-(block, dx) keep rule are baked in as an
+        # additive penalty (exp of a huge negative -> exact 0).
+        d2sh = _shift_no_wrap(d2, 3, 0, 0.0)
+        pen = pen_all if dx > 0 else pen_keep
+        wsh = jnp.exp((d2sh + pen) * inv_f).astype(dt)
+        acc = acc + (wsh * sh).astype(f32)
+        wacc = wacc + wsh.astype(f32)
+
+    racc = jnp.zeros((40, wl), f32)
+    rwacc = jnp.zeros((40, wl), f32)
+    for g in range(nro):
+        racc = racc + acc[40 * g:40 * (g + 1)]
+        rwacc = rwacc + wacc[40 * g:40 * (g + 1)]
+    acc_out[0] = racc
+    wacc_out[0] = rwacc
 
 
 def _nlm_ring_pallas(xc: jnp.ndarray, h: float, template: int, search: int,
                      dt, mode: str, interpret: bool):
-    """Mirror-half ring sums for the first/last 13 rows of the given frame.
+    """Mirror-half ring sums for the first/last 13 rows of a frame.
 
-    xc: (B, H', W') in the compute dtype. mode="rows": this is the image
-    frame — steps sweep row offsets [-r..r], lane offsets [0..r], mirror
-    set {dx>0} | {dx=0, dy>0}. mode="cols": xc is the TRANSPOSED image —
-    steps sweep the original dx in [0..r] (as T-row offsets), lanes the
-    original dy in [-r..r], and the box order is swapped so the original
-    row box still runs first. Returns (acc, wacc): (B, 40, W') f32 with
-    dest rows at [3:16] (first band) and [22:35] (last band)."""
+    xc: (B, H, W) in the compute dtype — the ORIGINAL image frame for both
+    modes. mode="rows": offsets sweep dy in [-r..r] on the sublane axis,
+    dx in [0..r] on lanes, mirror set {dx>0} | {dx=0, dy>0}; corrects the
+    top/bottom 13 rows. mode="cols": the kernel sees 27-column border
+    strips TRANSPOSED (only the strips are transposed — transposing the
+    full frame cost ~2.7 ms/batch-128), offsets sweep the original dx in
+    [0..r] on sublanes and dy in [-r..r] on lanes, and the box order is
+    swapped so the original row box still runs first; corrects the
+    left/right 13 columns. Returns (acc, wacc): (B, 40, wl) f32 with dest
+    rows at [3:16] (first band) and [22:35] (last band) of the frame."""
     b, hh, ww = xc.shape
     r = search // 2
     t_r = template // 2
     pp = r + t_r
-    xpad = jnp.pad(xc, [(0, 0), (pp, pp), (pp, pp)], mode="reflect")
+    # band geometry: 16-row data blocks + 3 fold rows must fit the two
+    # 40-row border blocks for every |ro| <= r
+    assert pp + r + 16 <= 40 and pp - r >= 3, (search, template)
+    ns = 40 - pp                             # border strip depth
     if mode == "rows":
-        rofs = list(range(-r, r + 1))
+        wl = ww
+        topsrc = xc[:, :ns, :]
+        botsrc = xc[:, hh - ns:, :]
+        rofs = tuple(range(-r, r + 1))
         dxs = tuple(range(0, r + 1))
         keep_thresh = r
         lane_first = False
     else:
-        rofs = list(range(0, r + 1))
+        wl = hh
+        topsrc = jnp.swapaxes(xc[:, :, :ns], 1, 2)
+        botsrc = jnp.swapaxes(xc[:, :, ww - ns:], 1, 2)
+        rofs = tuple(range(0, r + 1))
         dxs = tuple(range(-r, r + 1))
         keep_thresh = 0
         lane_first = True
-    z2 = jnp.zeros((b, 2, ww + 2 * pp), dt)
-
-    def band40(ro: int):
-        """[3 fold][16 top data][16 bottom data][3 fold][2 zero]."""
-        return jnp.concatenate(
-            [xpad[:, pp + 2 + ro:pp + 3 + ro],
-             xpad[:, pp + 1 + ro:pp + 2 + ro],
-             xpad[:, pp + ro:pp + 1 + ro],
-             xpad[:, pp + ro:pp + ro + 16],
-             xpad[:, pp + hh - 16 + ro:pp + hh + ro],
-             xpad[:, pp + hh - 1 + ro:pp + hh + ro],
-             xpad[:, pp + hh - 2 + ro:pp + hh - 1 + ro],
-             xpad[:, pp + hh - 3 + ro:pp + hh - 2 + ro],
-             z2], axis=1)
-
-    zx = jnp.zeros((b, 2, ww), dt)
+    wpad = -(-(wl + 2 * pp) // 128) * 128
+    top = jnp.pad(topsrc, [(0, 0), (pp, 0), (pp, pp)], mode="reflect")
+    bot = jnp.pad(botsrc, [(0, 0), (0, pp), (pp, pp)], mode="reflect")
+    top = jnp.pad(top, [(0, 0), (0, 0), (0, wpad - (wl + 2 * pp))])
+    bot = jnp.pad(bot, [(0, 0), (0, 0), (0, wpad - (wl + 2 * pp))])
+    zx = jnp.zeros((b, 2, wl), dt)
     xband = jnp.concatenate(
-        [xc[:, 2:3], xc[:, 1:2], xc[:, 0:1], xc[:, 0:16],
-         xc[:, hh - 16:hh], xc[:, hh - 1:hh], xc[:, hh - 2:hh - 1],
-         xc[:, hh - 3:hh - 2], zx], axis=1)
-    # chunk csub row-offset substeps per grid step: 21 one-substep steps
-    # per image were grid-overhead-bound (~12 ms standalone; the math is
-    # ~2 ms)
-    n_real = len(rofs)
-    csub = 7 if n_real % 7 == 0 else 4
-    npadded = -(-n_real // csub) * csub
-    rofs = rofs + [rofs[-1]] * (npadded - n_real)
-    nsteps = npadded // csub
-    slabs = jnp.stack([band40(ro) for ro in rofs], axis=1)
-    # pad lanes to a 128 multiple: the in-kernel lane rolls that align the
-    # dx slices need an aligned width
-    wpad = -(-(ww + 2 * pp) // 128) * 128
-    slabs = jnp.pad(slabs, [(0, 0), (0, 0), (0, 0),
-                            (0, wpad - (ww + 2 * pp))])
-    slabs = slabs.reshape(b, nsteps, 40 * csub, wpad)
+        [topsrc[:, 2:3], topsrc[:, 1:2], topsrc[:, 0:1], topsrc[:, 0:16],
+         botsrc[:, ns - 16:], botsrc[:, ns - 1:], botsrc[:, ns - 2:ns - 1],
+         botsrc[:, ns - 3:ns - 2], zx], axis=1)
     kern = functools.partial(
         _nlm_ring_kernel, h_param=h, template=template, search=search,
         dxs=dxs, keep_thresh=keep_thresh, lane_first=lane_first,
-        bf16=dt == jnp.bfloat16, wl=ww, csub=csub, n_real=n_real)
+        bf16=dt == jnp.bfloat16, wl=wl, rofs=rofs)
     return pl.pallas_call(
         kern,
-        grid=(b, nsteps),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+            pl.BlockSpec((1, 40, wl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 40 * csub, wpad), lambda i, d: (i, d, 0, 0),
+            pl.BlockSpec((1, 40, wpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 40, wpad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+            pl.BlockSpec((1, 40, wl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 40, ww), lambda i, d: (i, 0, 0),
+            pl.BlockSpec((1, 40, wl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 40, ww), jnp.float32),
-            jax.ShapeDtypeStruct((b, 40, ww), jnp.float32),
+            jax.ShapeDtypeStruct((b, 40, wl), jnp.float32),
+            jax.ShapeDtypeStruct((b, 40, wl), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((40, ww), jnp.float32),
-            pltpu.VMEM((40, ww), jnp.float32),
-        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xband, slabs)
+    )(xband, top, bot)
+
 
 
 def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
@@ -802,7 +786,8 @@ def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
     b, hh, ww = img.shape
     r = search // 2
     ring = r + 3
-    if hh < 2 * ring or ww < 2 * ring:
+    if hh < 2 * ring + 1 or ww < 2 * ring + 1:
+        # the ring kernel's 27-deep border strips need >= 27 rows/cols
         return _nlm_sym_planes_small(img, h, template, search, precision,
                                      interpret)
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -854,8 +839,7 @@ def nlm_denoise_pallas_sym(img: jnp.ndarray, h: float = 10.0,
     # full-array copy).
     racc, rwacc = _nlm_ring_pallas(xc, h, template, search, dt, "rows",
                                    interpret)
-    xct = jnp.swapaxes(xc, 1, 2)
-    cacc, cwacc = _nlm_ring_pallas(xct, h, template, search, dt, "cols",
+    cacc, cwacc = _nlm_ring_pallas(xc, h, template, search, dt, "cols",
                                    interpret)
     midz = jnp.zeros((b, hh - 26, ww - 26), jnp.float32)
 

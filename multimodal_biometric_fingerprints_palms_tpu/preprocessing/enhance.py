@@ -75,10 +75,13 @@ def denoise_image(img: jnp.ndarray,
     """NLM (h=10, template 7, search 21) + 3x3 Gaussian sigma 0.6
     (fingerprint_preprocess.py:34-38)."""
     if _auto_pallas(use_pallas):
-        from ..ops.pallas_kernels import nlm_denoise_pallas_blocked
+        # symmetric-pair kernel: mirror SSD reuse halves the banded-matmul
+        # wall; the border ring is recomputed in-kernel (32.0 vs 38.9 ms
+        # blocked at batch 128, parity < 5e-6)
+        from ..ops.pallas_kernels import nlm_denoise_pallas_sym
         lead = img.shape[:-2]
         flat = img.reshape((-1,) + img.shape[-2:])
-        d = nlm_denoise_pallas_blocked(flat).reshape(lead + img.shape[-2:])
+        d = nlm_denoise_pallas_sym(flat).reshape(lead + img.shape[-2:])
     else:
         d = nlm_denoise(img, h=10.0, template_window=7, search_window=21)
     return gaussian_blur_cv(d, ksize=3, sigma=0.6)
