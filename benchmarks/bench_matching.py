@@ -77,7 +77,7 @@ def synth_users_gallery(n_users: int, samples_per_user: int, k: int = 64,
 
 
 def bench_allpairs(iters: int, cascade: bool, n_users: int = 148,
-                   samples: int = 10):
+                   samples: int = 10, anchors: bool = True):
     """Full-gallery all-unique-pairs (the BASELINE.json north star:
     1480-template PolyU all-pairs)."""
     from multimodal_biometric_fingerprints_palms_tpu.parallel import (
@@ -90,10 +90,11 @@ def bench_allpairs(iters: int, cascade: bool, n_users: int = 148,
 
     # warm-up compiles (screen + full phase)
     all_pairs_unique(jax.tree.map(lambda x: x[:256], gallery), mesh, p,
-                     chunk=2048, cascade=cascade)
+                     chunk=2048, cascade=cascade, anchors=anchors)
 
     t0 = time.perf_counter()
-    scores = all_pairs_unique(gallery, mesh, p, chunk=2048, cascade=cascade)
+    scores = all_pairs_unique(gallery, mesh, p, chunk=2048, cascade=cascade,
+                              anchors=anchors)
     dt = time.perf_counter() - t0
 
     pairs = unique_pairs(n)
@@ -101,7 +102,8 @@ def bench_allpairs(iters: int, cascade: bool, n_users: int = 148,
     same = labels[pairs[:, 0]] == labels[pairs[:, 1]]
     print(json.dumps({
         "metric": f"all-pairs {n} templates (iters={iters}, "
-                  f"cascade={cascade}, {len(jax.devices())} dev)",
+                  f"cascade={cascade}, anchors={anchors}, "
+                  f"{len(jax.devices())} dev)",
         "value": round(pairs.shape[0] / dt, 1),
         "unit": "pairs/sec",
         "seconds": round(dt, 2),
@@ -196,10 +198,12 @@ def main():
     ap.add_argument("--identify", action="store_true")
     ap.add_argument("--identify-batch", action="store_true")
     ap.add_argument("--no-cascade", action="store_true")
+    ap.add_argument("--no-anchors", action="store_true")
     args = ap.parse_args()
 
     if args.allpairs:
-        bench_allpairs(args.iters, cascade=not args.no_cascade)
+        bench_allpairs(args.iters, cascade=not args.no_cascade,
+                       anchors=not args.no_anchors)
         return
     if args.identify:
         bench_identify(args.iters)

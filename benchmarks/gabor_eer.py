@@ -1,14 +1,20 @@
-"""Measure the Gabor extension's EER effect (VERDICT r2 item 9).
+"""Measure the Gabor extension's EER effect (VERDICT r2 item 9 /
+r3 item 5).
 
 The Gabor enhancement stage (ops/gabor.py) is the config-gated extension
 the reference chain does not have (preprocessing.gabor.enabled). This
-script runs the identical hard-impostor protocol from
-tests/test_end_to_end_eer.py at larger scale (N users x 2 sessions, every
-print sharing the global ridge field) twice — gabor OFF and gabor ON — and
+script runs a hard-impostor protocol (N users x 2 sessions, every print
+sharing the global ridge field) twice — gabor OFF and gabor ON — and
 records EER, score-distribution separation, and minutiae counts for both,
 so the default can be chosen from data.
 
-    python benchmarks/gabor_eer.py [--users 16] [--out docs/artifacts]
+Round-3 measured EER = 0 in BOTH arms (floor effect: all genuine pairs
+scored ~0.78, all impostors 0), so the round-4 protocol degrades the
+second session NIST-style — random rigid transform, heavy sensor noise,
+blur, contrast loss, occlusion smudges — until a fraction of genuine pairs
+genuinely fails (baseline EER > 0) and the Gabor arm has signal to recover.
+
+    python benchmarks/gabor_eer.py [--users 32] [--out docs/artifacts]
 """
 
 from __future__ import annotations
@@ -44,6 +50,32 @@ def _print(seed, phase=0.0, h=320, w=256):
     return (np.clip(img + g.normal(0, 0.02, (h, w)), 0, 1) * 255).astype(np.uint8)
 
 
+def _degrade(img: np.ndarray, seed: int) -> np.ndarray:
+    """NIST-style second-session degradation (README.md:80-91 'stress-test'
+    difficulty): random rigid placement, heavy zero-mean sensor noise, optic
+    blur, contrast loss, and occlusion smudges. Tuned so the OFF-arm baseline
+    has a measurable failure rate (EER > 0) instead of the round-3 floor."""
+    import cv2
+    g = np.random.default_rng(1000 + seed)
+    h, w = img.shape
+    theta = g.uniform(-12, 12)
+    tx, ty = g.uniform(-10, 10, 2)
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), theta, 1.0)
+    M[:, 2] += (tx, ty)
+    out = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=242)
+    f = out.astype(np.float32) / 255.0
+    f = cv2.GaussianBlur(f, (5, 5), 1.0)
+    f = 0.5 + 0.55 * (f - 0.5)                     # contrast loss
+    for _ in range(6):                             # smudges
+        cy, cx = g.integers(30, h - 30), g.integers(30, w - 30)
+        ax_, ay_ = int(g.integers(8, 26)), int(g.integers(6, 18))
+        cv2.ellipse(f, (int(cx), int(cy)), (ax_, ay_), float(g.uniform(0, 180)),
+                    0, 360, float(g.uniform(0.55, 0.8)), -1)
+    f = f + g.normal(0, 0.10, (h, w)).astype(np.float32)
+    return (np.clip(f, 0, 1) * 255).astype(np.uint8)
+
+
 def run_once(root: Path, gabor: bool, n_users: int, batch: int) -> dict:
     import cv2
     from multimodal_biometric_fingerprints_palms_tpu.preprocessing.runner import (
@@ -55,9 +87,10 @@ def run_once(root: Path, gabor: bool, n_users: int, batch: int) -> dict:
     cluster = root / "sorted" / "cluster_0"
     cluster.mkdir(parents=True)
     for user in range(1, n_users + 1):
-        for sess in (1, 2):
-            cv2.imwrite(str(cluster / f"{user}_1_{sess}.jpg"),
-                        _print(10 + user, 0.06 * (sess - 1)))
+        base = _print(10 + user)
+        cv2.imwrite(str(cluster / f"{user}_1_1.jpg"), base)
+        cv2.imwrite(str(cluster / f"{user}_1_2.jpg"),
+                    _degrade(_print(10 + user, 0.06), 10 + user))
 
     t0 = time.time()
     run_preprocessing(root / "sorted", root / "processed", batch_size=batch,
@@ -84,7 +117,7 @@ def run_once(root: Path, gabor: bool, n_users: int, batch: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--users", type=int, default=16)
+    ap.add_argument("--users", type=int, default=32)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--out", default="docs/artifacts")
     args = ap.parse_args()
@@ -105,12 +138,13 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     artifact = {
-        "protocol": f"hard-impostor shared-ridge-field, {args.users} users x 2",
+        "protocol": f"hard-impostor shared-ridge-field, {args.users} users"
+                    " x 2, NIST-style degraded second session",
         "device": str(jax.devices()[0]),
         "off": results[0], "on": results[1],
         "eer_delta_on_minus_off": results[1]["eer"] - results[0]["eer"],
     }
-    (out_dir / "gabor_eer_r3.json").write_text(json.dumps(artifact, indent=2))
+    (out_dir / "gabor_eer_r4.json").write_text(json.dumps(artifact, indent=2))
     print(json.dumps({"eer_off": results[0]["eer"],
                       "eer_on": results[1]["eer"]}))
 
