@@ -260,12 +260,16 @@ def _seed_reach_kernel(t_ref, s_ref, r_ref, *, h: int, w: int,
 
 def reach_packed(mask: jnp.ndarray, seeds: jnp.ndarray,
                  connectivity: int = 1, max_iters: int = 512,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, packed: bool = False) -> jnp.ndarray:
     """Reachability from an arbitrary per-image seed mask over (..., H, W)
     boolean masks, 32 images per int32 plane: returns the union of the
     components of ``mask`` containing a seed pixel. The packed counterpart
     of `pallas_cc.binary_reconstruct_pallas` — each sweep is ~4 segmented
-    OR scans on ONE plane for 32 images."""
+    OR scans on ONE plane for 32 images.
+
+    packed=True returns the raw (ceil(B/32), H, W) int32 planes —
+    consumers index plane i // 32 via their BlockSpec and test bit
+    i % 32, skipping the f32 unpack round trip through HBM."""
     lead = mask.shape[:-2]
     h, w = mask.shape[-2:]
     b = 1
@@ -288,6 +292,8 @@ def reach_packed(mask: jnp.ndarray, seeds: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(tp, sp)
+    if packed:
+        return r
     return unpack_bits(r, b).reshape(mask.shape)
 
 

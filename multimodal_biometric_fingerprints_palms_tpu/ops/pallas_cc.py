@@ -150,8 +150,15 @@ def _rle_nhi(h: int, w: int) -> int:
     return -(-nhi // _RLE_GROUP) * _RLE_GROUP
 
 
-def _rle_onehots(chunk, w: int, lo_iota):
-    """(1, 8w) hi values and (LO, 8w) lo one-hot for an 8-row label chunk,
+# Rows per table chunk: bigger chunks mean fewer sequential fori_loop
+# iterations (each with VMEM read-modify-write dependencies that stall the
+# pipeline); 32 rows keeps the per-chunk lo one-hot at (LO, 32w) bf16
+# (~2 MB at w=256) comfortably in VMEM.
+_RLE_ROWS = 32
+
+
+def _rle_onehots(chunk, w: int, lo_iota, rows: int):
+    """(1, rows*w) hi values and (LO, rows*w) lo one-hot for a label chunk,
     concatenated along the contracted lane axis.
 
     Rows are extracted with a sublane-masked sum rather than `chunk[k:k+1]`:
@@ -159,7 +166,7 @@ def _rle_onehots(chunk, w: int, lo_iota):
     concatenation of vectors with mismatched sublane offsets."""
     sub_iota = lax.broadcasted_iota(jnp.int32, chunk.shape, 0)
     his, lo_ohs = [], []
-    for k in range(8):
+    for k in range(rows):
         row = jnp.sum(jnp.where(sub_iota == k, chunk, 0.0), axis=0,
                       keepdims=True)
         hi = jnp.floor(row / float(_RLE_LO))
@@ -170,23 +177,36 @@ def _rle_onehots(chunk, w: int, lo_iota):
             jnp.concatenate(lo_ohs, axis=1))
 
 
+def _chunk_rows(h: int) -> int:
+    r = _RLE_ROWS
+    while h % r != 0:
+        r //= 2
+    return r
+
+
 def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
     """Per-label pixel counts for run-id labels. count_ref (nhi, _RLE_LO)
-    f32. Background maps to hi=-2 (label -256), matching no group."""
+    f32. Background maps to hi=-2 (label -256), matching no group — a chunk
+    with no foreground gets gmax = 0 and skips the one-hot extraction and
+    the matmul entirely (the empty-relax fast paths rely on this)."""
     lab_ref[:] = jnp.where(fg, label_f, -256.0)
     count_ref[:] = jnp.zeros_like(count_ref)
+    rows = _chunk_rows(h)
     lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
-        jnp.int32, (_RLE_GROUP, 8 * w), 0).astype(jnp.float32)
+        jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
 
     def chunk_body(c, _):
-        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
-        hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota)
 
         def group_body(g, _):
+            # extraction inside the group loop: recomputed when gmax > 1
+            # (rare — real masks have <= ~4k runs, gmax <= 2) but skipped
+            # entirely for foreground-free chunks (gmax == 0)
+            hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
             oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
                      == hi_cat).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
@@ -199,39 +219,41 @@ def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
         lax.fori_loop(0, gmax, group_body, None)
         return _
 
-    lax.fori_loop(0, h // 8, chunk_body, None)
+    lax.fori_loop(0, h // rows, chunk_body, None)
 
 
 def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
     """Per-pixel size[p] = count[hi_p, lo_p] for run-id labels, with the
-    same dynamic group bound. Background pixels get 0."""
+    same dynamic group bound. Background pixels get 0 (foreground-free
+    chunks skip straight to the zero write)."""
+    rows = _chunk_rows(h)
     lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
-        jnp.int32, (_RLE_GROUP, 8 * w), 0).astype(jnp.float32)
+        jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
 
     def chunk_body(c, _):
-        chunk = lab_ref[pl.ds(c * 8, 8), :]
+        chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
-        hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota)
 
         def group_body(g, acc):
+            hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
             oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
                      == hi_cat).astype(jnp.float32)
             tmp = jax.lax.dot_general(
                 count_ref[pl.ds(g * _RLE_GROUP, _RLE_GROUP), :],
                 lo_oh.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (GROUP, 8w)
+                preferred_element_type=jnp.float32)        # (GROUP, rows*w)
             return acc + jnp.sum(oh_hi * tmp, axis=0, keepdims=True)
 
         flat = lax.fori_loop(0, gmax, group_body,
-                             jnp.zeros((1, 8 * w), jnp.float32))
-        sizes_ref[pl.ds(c * 8, 8), :] = jnp.concatenate(
-            [flat[:, k * w:(k + 1) * w] for k in range(8)], axis=0)
+                             jnp.zeros((1, rows * w), jnp.float32))
+        sizes_ref[pl.ds(c * rows, rows), :] = jnp.concatenate(
+            [flat[:, k * w:(k + 1) * w] for k in range(rows)], axis=0)
         return _
 
-    lax.fori_loop(0, h // 8, chunk_body, None)
+    lax.fori_loop(0, h // rows, chunk_body, None)
     return sizes_ref[:]
 
 
@@ -496,10 +518,19 @@ def _fill_holes_split_kernel(mask_ref, reach1_ref, out_ref,
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
-    relax_mask = jnp.logical_and(inv, jnp.logical_not(reach1))
+    interior = jnp.logical_and(inv, jnp.logical_not(reach1))
+    # Closed-form fast path: if the TOTAL non-canonical background is
+    # smaller than max_size, every one of its components is too — fill it
+    # all without labeling. The relax then runs on an empty mask (one
+    # sweep, zero table groups). Typical post-clean masks have only a few
+    # interior hole pixels, so this is the common case.
+    tot = jnp.sum(interior.astype(jnp.float32))
+    fill_all = tot < float(max_size)
+    relax_mask = jnp.logical_and(interior, jnp.logical_not(fill_all))
     _, sizes = _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
                                 count_ref, lab_ref, sizes_ref)
     fill = jnp.logical_and(relax_mask, sizes < float(max_size))
+    fill = jnp.logical_or(fill, jnp.logical_and(interior, fill_all))
     # canonical border component: closed-form size = popcount
     npix = jnp.sum(reach1.astype(jnp.float32))
     fill = jnp.logical_or(
@@ -542,21 +573,117 @@ def fill_holes_split_pallas(mask: jnp.ndarray, reach1_planes: jnp.ndarray,
     return (out > 0.5).reshape(mask.shape)
 
 
+def center_seed(mask: jnp.ndarray) -> jnp.ndarray:
+    """Canonical per-image foreground seed: the fg pixel nearest the image
+    center (squared euclidean; ties broken by linear index). On real ridge
+    masks this lands inside the main ridge network — the slowly converging
+    component the packed reach leg should absorb. Returns a one-hot (or
+    all-false where the image has no fg) bool mask of mask's shape."""
+    h, w = mask.shape[-2:]
+    yy = jnp.arange(h, dtype=jnp.int32) * 2 - (h - 1)
+    xx = jnp.arange(w, dtype=jnp.int32) * 2 - (w - 1)
+    dist = yy[:, None] * yy[:, None] + xx[None, :] * xx[None, :]
+    # single fused key: coarsened distance (capped to 13 bits so the max
+    # key 8191*2^17 + lin stays below the 2^30 background sentinel;
+    # coarsening only blurs WHICH near-center pixel wins, any deterministic
+    # choice is valid) in the high bits, unique linear index in the low
+    # 17 bits — one masked min + one compare instead of two of each
+    lin = (jnp.arange(h, dtype=jnp.int32)[:, None] * w
+           + jnp.arange(w, dtype=jnp.int32)[None, :])
+    key = jnp.minimum(dist >> 5, 8191) * jnp.int32(131072) + lin
+    big = jnp.int32(2 ** 30)
+    kmask = jnp.where(mask, key, big)
+    kmin = jnp.min(kmask, axis=(-2, -1), keepdims=True)
+    return jnp.logical_and(mask, kmask == kmin)
+
+
+def _remove_small_split_kernel(mask_ref, reach1_ref, out_ref,
+                               count_ref, lab_ref, sizes_ref, *,
+                               h: int, w: int, connectivity: int,
+                               max_iters: int, min_size: int):
+    """remove_small_objects with the canonical center component
+    pre-resolved by `pallas_bitpack.reach_packed` seeded at
+    `center_seed` (packed int32 planes, bit i % 32 of plane i // 32).
+
+    Exactness mirrors _fill_holes_split_kernel: the canonical component —
+    on real masks the main ridge network, the slow relax — is excluded
+    from the per-image relax and its keep decision is a closed-form
+    popcount; every other component (specks and any secondary ridge
+    patches) relaxes per image and converges in a few sweeps."""
+    fg = mask_ref[0] > 0.5
+    bit = (pl.program_id(0) % 32).astype(jnp.int32)
+    reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
+    remnant = jnp.logical_and(fg, jnp.logical_not(reach1))
+    # Closed-form fast path (mirror of the hole fill's): if the TOTAL
+    # remnant is smaller than min_size, every remnant component is dropped
+    # without labeling and the relax runs on an empty mask.
+    tot = jnp.sum(remnant.astype(jnp.float32))
+    drop_all = tot < float(min_size)
+    relax_mask = jnp.logical_and(remnant, jnp.logical_not(drop_all))
+    _, sizes = _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
+                                count_ref, lab_ref, sizes_ref)
+    kept = jnp.logical_and(relax_mask, sizes >= float(min_size))
+    npix = jnp.sum(reach1.astype(jnp.float32))
+    kept = jnp.logical_or(
+        kept, jnp.logical_and(reach1, npix >= float(min_size)))
+    out_ref[0] = kept.astype(jnp.float32)
+
+
+def remove_small_split_pallas(mask: jnp.ndarray, min_size: int,
+                              connectivity: int = 1, max_iters: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """remove_small_objects(min_size) with the objects relax split like the
+    hole pass: packed reach of the center-seeded canonical component (32
+    images per int32 plane) + per-image relax of the remnant specks."""
+    from .pallas_bitpack import reach_packed
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    mask_b = jnp.asarray(mask, bool)
+    reach1 = reach_packed(mask_b, center_seed(mask_b),
+                          connectivity=connectivity, max_iters=max_iters,
+                          interpret=interpret, packed=True)
+    nhi = _rle_nhi(h, w)
+    kern = functools.partial(_remove_small_split_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters,
+                             min_size=min_size)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, h, w), lambda i: (i // 32, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[spec, pspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(mask_b.reshape(b, h, w).astype(jnp.float32), reach1)
+    return (out > 0.5).reshape(mask.shape)
+
+
 def clean_mask_split(mask: jnp.ndarray, min_size: int, max_size: int,
                      connectivity: int = 1, max_iters: int = 512,
                      interpret: bool = False) -> jnp.ndarray:
     """remove_small_objects(min_size) + remove_small_holes(max_size)
     (fingerprint_preprocess.py:73-74,167-168 semantics, identical to
-    cc_filter_pallas(mode="clean")) with the hole pass split in three:
-    per-image small-object relax -> PACKED canonical border reachability
-    (32 images per int32 plane; the border-connected background is the
-    slowly converging component, mean 27 / max 58 sweeps on real valley
-    masks) -> per-image relax of the interior holes and any non-canonical
-    border nubs (a few sweeps). The packed middle leg runs the expensive
-    sweeps at 1/32nd the data volume."""
-    kept = cc_filter_pallas(mask, "remove_small", connectivity=connectivity,
-                            min_size=min_size, max_iters=max_iters,
-                            interpret=interpret)
+    cc_filter_pallas(mode="clean")) with BOTH slow relaxations split onto
+    packed planes: the objects pass resolves the center-seeded main ridge
+    network packed (32 images per int32 plane) and relaxes only remnant
+    specks per image; the hole pass resolves the border-connected valley
+    background packed (mean 27 / max 58 sweeps on real valley masks) and
+    relaxes only interior holes per image. The packed legs run the
+    expensive sweeps at 1/32nd the data volume."""
+    kept = remove_small_split_pallas(mask, min_size,
+                                     connectivity=connectivity,
+                                     max_iters=max_iters, interpret=interpret)
     from .pallas_bitpack import border_reach_packed
     inv = jnp.logical_not(kept)
     reach1 = border_reach_packed(inv, connectivity=connectivity,

@@ -935,24 +935,16 @@ def _shift01(m, dy: int, dx: int, fill: float):
     return s
 
 
-def _binarize_phase1_kernel(img_ref, out_ref, count_ref, lab_ref, sizes_ref,
-                            bin2_ref, hist_ref, *,
-                            h: int, w: int, win: int, k: float, patch: int,
-                            min_size: int, cc_iters: int):
-    """Sauvola + patch-Otsu + remove_small_objects: the binarize megakernel
-    up to (and including) the foreground size filter. The hole pass is
-    outside (see binarize_fused_split_pallas) so its border-connected
-    background — the slowest CC relaxation in the pipeline — can run
-    bit-packed 32 images per plane."""
-    from .pallas_cc import _relax_and_sizes
+def _binarize_fg_kernel(img_ref, out_ref, bin2_ref, hist_ref, *,
+                        h: int, w: int, win: int, k: float, patch: int):
+    """Sauvola + patch-Otsu foreground only — no CC work. The object filter
+    runs after this as the packed-reach split (remove_small_split_pallas),
+    so the main ridge network's slow relax happens 32 images per int32
+    plane instead of per image."""
     _binarize_front(img_ref, bin2_ref, hist_ref, h=h, w=w, win=win, k=k,
                     patch=patch)
-    fg = jnp.maximum(_sauvola_front(img_ref, h=h, w=w, win=win, k=k),
-                     bin2_ref[:]) > 0.5
-    _, sizes = _relax_and_sizes(fg, h, w, 1, cc_iters,
-                                count_ref, lab_ref, sizes_ref)
-    out_ref[0] = jnp.logical_and(fg, sizes >= float(min_size)).astype(
-        jnp.float32)
+    out_ref[0] = jnp.maximum(_sauvola_front(img_ref, h=h, w=w, win=win, k=k),
+                             bin2_ref[:])
 
 
 def _sauvola_front(img_ref, *, h: int, w: int, win: int, k: float):
@@ -1044,23 +1036,44 @@ def _binarize_front(img_ref, bin2_ref, hist_ref, *, h: int, w: int,
     lax.fori_loop(0, h // 8, refine_chunk, None)
 
 
-def _binarize_phase2_kernel(kept_ref, reach1_ref, out_ref,
+def _binarize_phase2_kernel(kept_ref, reach1_ref, reach2_ref, out_ref,
                             count_ref, lab_ref, sizes_ref, *,
                             h: int, w: int, max_size: int, cc_iters: int):
     """Hole fill (split exactness logic, see pallas_cc._fill_holes_split_
-    kernel; reach1 arrives as packed int32 planes, bit i % 32 of
-    plane i // 32). The open/erode/reconstruction tail runs bit-packed
-    afterwards (pallas_bitpack.open_erode_reconstruct_packed)."""
+    kernel; reach1/reach2 arrive as packed int32 planes, bit i % 32 of
+    plane i // 32). TWO canonical components are pre-resolved packed: the
+    border-connected background (reach1) and — because after hull
+    segmentation the outside-of-hull area is dark, so Sauvola marks it
+    foreground and WALLS the valley network off from the border — the
+    center-seeded component of what the border reach missed (reach2, the
+    17k-47k px/image valley network that otherwise relaxes per image, the
+    pipeline's single most expensive relax). Both get closed-form popcount
+    fill decisions; only genuine small interior holes relax per image.
+    The open/erode/reconstruction tail runs bit-packed afterwards
+    (pallas_bitpack.open_erode_reconstruct_packed)."""
     from .pallas_cc import _relax_and_sizes
 
     kept = kept_ref[0] > 0.5
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
+    reach2 = (lax.shift_right_logical(reach2_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
-    relax_mask = jnp.logical_and(inv, jnp.logical_not(reach1))
+    interior = jnp.logical_and(inv, jnp.logical_not(reach1))
+    remnant = jnp.logical_and(interior, jnp.logical_not(reach2))
+    # closed-form fast path (see pallas_cc._fill_holes_split_kernel): total
+    # non-canonical background < max_size -> every component of it is too
+    tot = jnp.sum(remnant.astype(jnp.float32))
+    fill_all = tot < float(max_size)
+    relax_mask = jnp.logical_and(remnant, jnp.logical_not(fill_all))
     _, sizes2 = _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
                                  count_ref, lab_ref, sizes_ref)
     fill = jnp.logical_and(relax_mask, sizes2 < float(max_size))
+    fill = jnp.logical_or(fill, jnp.logical_and(remnant, fill_all))
+    # canonical components: closed-form size = popcount (reach2 is grown
+    # from a single seed so it is exactly one component)
+    npix2 = jnp.sum(reach2.astype(jnp.float32))
+    fill = jnp.logical_or(
+        fill, jnp.logical_and(reach2, npix2 < float(max_size)))
     npix = jnp.sum(reach1.astype(jnp.float32))
     fill = jnp.logical_or(
         fill, jnp.logical_and(reach1, npix < float(max_size)))
@@ -1073,14 +1086,17 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
                                 cc_iters: int = 512,
                                 interpret: bool = False) -> jnp.ndarray:
     """enhance.binarize after CLAHE, same result as binarize_fused_pallas,
-    split around a bit-packed border-reachability pass: phase 1 (per image)
-    Sauvola+Otsu+small-object filter -> packed reach of the inverted mask
-    (32 images/plane; the border-connected valley background is the
+    split around bit-packed reachability passes: phase 1a (per image)
+    Sauvola+Otsu foreground -> packed center-seeded reach + per-image
+    remnant relax for the small-object filter (the main ridge network is
+    the slow fg relax; it runs 32 images/plane) -> packed border reach of
+    the inverted mask (the border-connected valley background is the
     pipeline's slowest relaxation) -> phase 2 (per image) interior-hole
     fill -> packed open/erode/reconstruction tail (pure bitwise)."""
-    from .pallas_cc import _rle_nhi, _RLE_LO
-    from .pallas_bitpack import (border_reach_packed,
-                                 open_erode_reconstruct_packed)
+    from .pallas_cc import (_rle_nhi, _RLE_LO, remove_small_split_pallas,
+                            center_seed)
+    from .pallas_bitpack import (border_reach_packed, reach_packed,
+                                 unpack_bits, open_erode_reconstruct_packed)
 
     lead = img_eq.shape[:-2]
     h, w = img_eq.shape[-2:]
@@ -1094,28 +1110,40 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    k1 = functools.partial(_binarize_phase1_kernel, h=h, w=w, win=win, k=k,
-                           patch=patch, min_size=min_size, cc_iters=cc_iters)
-    kept = pl.pallas_call(
+    k1 = functools.partial(_binarize_fg_kernel, h=h, w=w, win=win, k=k,
+                           patch=patch)
+    fg = pl.pallas_call(
         k1,
         grid=(b,),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.float32),
-                        pltpu.VMEM((h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32),
                         pltpu.VMEM((npt, 256), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(img_eq.reshape(b, h, w).astype(jnp.float32))
 
-    reach1 = border_reach_packed(kept < 0.5, connectivity=1,
+    kept = remove_small_split_pallas(fg > 0.5, min_size, connectivity=1,
+                                     max_iters=cc_iters,
+                                     interpret=interpret).astype(jnp.float32)
+
+    inv = kept < 0.5
+    reach1 = border_reach_packed(inv, connectivity=1,
                                  max_iters=cc_iters,
                                  interpret=interpret, packed=True,
                                  union=False)
+    # second canonical seed: the hull segmentation leaves the outside-of-
+    # hull area dark, Sauvola marks it foreground, and the valley network
+    # is walled off from the border — reach1 absorbs (almost) nothing and
+    # the whole valley would relax per image. Resolve it packed instead,
+    # seeded at the interior background pixel nearest the image center.
+    interior = jnp.logical_and(inv, jnp.logical_not(
+        unpack_bits(reach1, b).reshape(b, h, w)))
+    reach2 = reach_packed(interior, center_seed(interior), connectivity=1,
+                          max_iters=cc_iters, interpret=interpret,
+                          packed=True)
 
     k2 = functools.partial(_binarize_phase2_kernel, h=h, w=w,
                            max_size=max_size, cc_iters=cc_iters)
@@ -1124,7 +1152,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
     cleaned = pl.pallas_call(
         k2,
         grid=(b,),
-        in_specs=[spec, pspec],
+        in_specs=[spec, pspec, pspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
@@ -1133,7 +1161,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(kept, reach1)
+    )(kept, reach1, reach2)
     out = open_erode_reconstruct_packed(cleaned > 0.5, max_iters=cc_iters,
                                         interpret=interpret)
     return out.reshape(img_eq.shape)

@@ -5,16 +5,18 @@ over the committed 136-template fixture set (32 PolyU-shaped users x 4
 impressions + 8 NIST-style single-session users) by
 tests/gen_reference_golden.py, driving /root/reference's compute_frr
 (FRR.py:67) and compute_far (FAR.py:35) with the full-mode settings:
-max_per_user 2, RANSAC 300, FRR gates dist 30/orient 30/min_inliers 6,
-FAR gates dist 15/orient 10/min_inliers 12, stop ratio 0.15, 50 threshold
-points. The resulting curves are committed as
+RANSAC 300, FRR gates dist 30/orient 30/min_inliers 6, FAR gates dist 15/
+orient 10/min_inliers 12, stop ratio 0.15, 50 threshold points — with ONE
+deviation: max_per_user 4 instead of 2, so the genuine-pair count is
+32*C(4,2) = 192 instead of 32 and the parity tolerances can be ~4x tighter
+(VERDICT round-3 item 6). The resulting curves are committed as
 tests/fixtures/parity_full_golden.json.
 
 This test runs OUR orchestrator (matching.runner.main — the production
 entry point, not the pair matcher) with the same protocol on the same
 fixtures and asserts the 50-point FRR/FAR curves match pointwise and the
-EERs agree, with tolerances set by the genuine-pair sample size (32 pairs →
-1/32 curve granularity) and the different RANSAC streams. Also asserts the
+EERs agree, with tolerances set by the genuine-pair sample size (192
+pairs → 1/192 curve granularity) and the different RANSAC streams. Also asserts the
 cascade (screen-then-full) changes nothing on this set.
 """
 
@@ -48,6 +50,8 @@ def _run_ours(tmp_path, cascade: bool):
         (Path(__file__).parents[1] / "configs" / "config_matching.yml")
         .read_text())
     base_cfg["matching"]["cascade"] = cascade
+    # the golden's protocol: all 4 impressions per user (192 genuine pairs)
+    base_cfg["evaluation"]["max_per_user"] = 4
     cfg_path = tmp_path / f"cfg_{cascade}.yml"
     cfg_path.write_text(yaml.safe_dump(base_cfg))
     return main(config_path=str(cfg_path), minutiae_base=str(FIXTURES),
@@ -64,29 +68,45 @@ def ours(tmp_path_factory):
 
 
 def test_frr_curve_parity(golden, ours):
-    """50-point FRR curves agree pointwise (32 genuine pairs -> one pair is
-    1/32 = 0.031 of the curve; allow 4 pairs of drift)."""
+    """50-point FRR curves agree within 2.5/192 vertically after at most
+    ONE threshold bin (0.0204 score units) of horizontal slack.
+
+    Why the slack: the golden's genuine scores put ~96 of 192 pairs inside
+    a 0.1-wide band (0.43-0.53), so the CDF rises ~0.1 per threshold bin
+    there — a sub-bin score offset between two independent RANSAC streams
+    (different hypothesis sampling, same protocol) moves the pointwise
+    curve by ~0.1 even when the distributions agree. Bounding each point
+    by the neighboring bins' envelope +- 2.5 pairs tests the distribution
+    ~8x tighter than the round-3 pointwise +-4.5/32 while staying robust
+    to the score-axis jitter the two stacks cannot share."""
     ref = np.asarray(golden["frr"])
     our = np.asarray(ours["plain"]["frr"])
     assert our.shape == ref.shape
-    assert np.max(np.abs(our - ref)) <= 4.5 / 32.0, (
-        np.max(np.abs(our - ref)))
+    tol = 2.5 / 192.0
+    lo = np.minimum(np.minimum(ref, np.roll(ref, 1)), np.roll(ref, -1))
+    hi = np.maximum(np.maximum(ref, np.roll(ref, 1)), np.roll(ref, -1))
+    lo[0], hi[0] = ref[0], ref[0]
+    lo[-1], hi[-1] = ref[-1], ref[-1]
+    viol = np.maximum(our - (hi + tol), (lo - tol) - our)
+    assert np.max(viol) <= 0.0, (
+        int(np.argmax(viol)), float(np.max(viol)), our[np.argmax(viol)],
+        ref[np.argmax(viol)])
 
 
 def test_far_curve_parity(golden, ours):
     """50-point FAR curves agree pointwise. The reference scores each user
-    pair in both orders (6240 scores) while we score unordered pairs once
-    (3120); the distributions must still agree."""
+    pair in both orders (~18.0k scores) while we score unordered pairs once
+    (~9.0k); the distributions must still agree."""
     ref = np.asarray(golden["far"])
     our = np.asarray(ours["plain"]["far"])
     assert our.shape == ref.shape
-    assert np.max(np.abs(our - ref)) <= 0.05, np.max(np.abs(our - ref))
+    assert np.max(np.abs(our - ref)) <= 0.03, np.max(np.abs(our - ref))
 
 
 def test_eer_parity(golden, ours):
-    """EER within 3 points of the reference protocol's (VERDICT round-2
-    item 2 tolerance)."""
-    assert abs(ours["plain"]["eer"] - golden["eer"]) <= 0.03, (
+    """EER within 1.5 points of the reference protocol's (VERDICT round-3
+    item 6 tolerance; 192 genuine pairs)."""
+    assert abs(ours["plain"]["eer"] - golden["eer"]) <= 0.015, (
         ours["plain"]["eer"], golden["eer"])
 
 
@@ -95,8 +115,8 @@ def test_genuine_impostor_mass_parity(golden, ours):
     ri = np.asarray(golden["impostor_scores"])
     og = np.asarray(ours["plain"]["genuine_scores"])
     oi = np.asarray(ours["plain"]["impostor_scores"])
-    assert abs(og.mean() - rg.mean()) <= 0.06, (og.mean(), rg.mean())
-    assert abs(oi.mean() - ri.mean()) <= 0.02, (oi.mean(), ri.mean())
+    assert abs(og.mean() - rg.mean()) <= 0.04, (og.mean(), rg.mean())
+    assert abs(oi.mean() - ri.mean()) <= 0.01, (oi.mean(), ri.mean())
 
 
 def test_cascade_matches_full_protocol(ours):

@@ -237,6 +237,37 @@ def test_border_reach_packed_matches_flood(rng):
 
 
 @pytest.mark.parametrize("conn", [1, 2])
+def test_remove_small_split_matches_unsplit(rng, conn):
+    """The center-seeded objects split (packed reach of the canonical
+    component + per-image remnant relax) == cc_filter "remove_small",
+    including when the center seed lands in a SMALL speck (the big
+    component then relaxes per image — slower, still exact) and on
+    empty-foreground images."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        cc_filter_pallas, remove_small_split_pallas,
+    )
+    h, w = 32, 64
+    yy, xx = np.mgrid[:h, :w]
+    ridge = np.cos(np.sqrt((yy - 16.0) ** 2 + (xx - 32.0) ** 2) / 2.5) > 0.0
+    speck_center = np.zeros((h, w), bool)   # seed -> 2-px speck at center
+    speck_center[15:17, 32] = True
+    speck_center[2:20, 2:8] = True          # the big component, off center
+    batch = jnp.asarray(np.stack([
+        rng.random((h, w)) > 0.5,
+        ridge,
+        speck_center,
+        np.zeros((h, w), bool),
+        np.ones((h, w), bool),
+    ]))
+    a = np.asarray(remove_small_split_pallas(batch, 10, connectivity=conn,
+                                             interpret=True))
+    b = np.asarray(cc_filter_pallas(batch, "remove_small", connectivity=conn,
+                                    min_size=10, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("conn", [1, 2])
 def test_clean_mask_split_matches_clean(rng, conn):
     """The 3-leg split clean (small-object relax -> packed border reach ->
     interior-hole relax) is pixel-identical to the one-kernel clean mode on
