@@ -6,10 +6,14 @@ impressions + 8 NIST-style single-session users) by
 tests/gen_reference_golden.py, driving /root/reference's compute_frr
 (FRR.py:67) and compute_far (FAR.py:35) with the full-mode settings:
 RANSAC 300, FRR gates dist 30/orient 30/min_inliers 6, FAR gates dist 15/
-orient 10/min_inliers 12, stop ratio 0.15, 50 threshold points — with ONE
-deviation: max_per_user 4 instead of 2, so the genuine-pair count is
+orient 10/min_inliers 12, 50 threshold points — with TWO deviations:
+(1) max_per_user 4 instead of 2, so the genuine-pair count is
 32*C(4,2) = 192 instead of 32 and the parity tolerances can be ~4x tighter
-(VERDICT round-3 item 6). The resulting curves are committed as
+(VERDICT round-3 item 6); (2) the RANSAC early stop is disabled
+(stop_inlier_ratio=2.0) on BOTH stacks, because the reference's
+first-past-the-post stop is thread-racy (measured self-reproducibility
+corr ~0.68 — see gen_reference_golden.py) and would make the golden an
+unstable target. The resulting curves are committed as
 tests/fixtures/parity_full_golden.json.
 
 This test runs OUR orchestrator (matching.runner.main — the production
@@ -52,6 +56,12 @@ def _run_ours(tmp_path, cascade: bool):
     base_cfg["matching"]["cascade"] = cascade
     # the golden's protocol: all 4 impressions per user (192 genuine pairs)
     base_cfg["evaluation"]["max_per_user"] = 4
+    # the golden's SECOND deviation (gen_reference_golden.py): the
+    # reference's racy first-past-the-post early stop is disabled
+    # (stop_inlier_ratio=2.0 => best-of-300 hypotheses); our stack must run
+    # the identical no-stop protocol or the curves measure different
+    # estimators (measured: genuine mean 0.615 at stop=0.15 vs 0.863 at 2.0).
+    base_cfg["ransac"]["stop_inlier_ratio"] = 2.0
     cfg_path = tmp_path / f"cfg_{cascade}.yml"
     cfg_path.write_text(yaml.safe_dump(base_cfg))
     return main(config_path=str(cfg_path), minutiae_base=str(FIXTURES),
