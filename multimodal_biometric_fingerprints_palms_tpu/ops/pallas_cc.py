@@ -527,8 +527,18 @@ def _fill_holes_split_kernel(mask_ref, reach1_ref, out_ref,
     tot = jnp.sum(interior.astype(jnp.float32))
     fill_all = tot < float(max_size)
     relax_mask = jnp.logical_and(interior, jnp.logical_not(fill_all))
-    _, sizes = _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
-                                count_ref, lab_ref, sizes_ref)
+
+    # The relax + table phases only RUN when the fast path misses: under
+    # pl.when the whole ~60-op/plane relax is skipped at runtime for the
+    # common near-empty remnant. sizes_ref then holds the previous grid
+    # step's values — safe, because every consumer ANDs against relax_mask
+    # (all-false exactly when skipped).
+    @pl.when(jnp.logical_not(fill_all))
+    def _run_relax():
+        _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
+                         count_ref, lab_ref, sizes_ref)
+
+    sizes = sizes_ref[:]
     fill = jnp.logical_and(relax_mask, sizes < float(max_size))
     fill = jnp.logical_or(fill, jnp.logical_and(interior, fill_all))
     # canonical border component: closed-form size = popcount
@@ -580,6 +590,12 @@ def center_seed(mask: jnp.ndarray) -> jnp.ndarray:
     component the packed reach leg should absorb. Returns a one-hot (or
     all-false where the image has no fg) bool mask of mask's shape."""
     h, w = mask.shape[-2:]
+    # the fused key packs the linear index into the low 17 bits, which is
+    # only injective for h*w <= 2^17; beyond that two pixels can share a
+    # key, the seed stops being one-hot and the split kernels' closed-form
+    # popcount sizes silently corrupt — fail loudly instead
+    assert h * w <= 131072, (
+        f"center_seed key packing requires h*w <= 131072, got {h}x{w}")
     yy = jnp.arange(h, dtype=jnp.int32) * 2 - (h - 1)
     xx = jnp.arange(w, dtype=jnp.int32) * 2 - (w - 1)
     dist = yy[:, None] * yy[:, None] + xx[None, :] * xx[None, :]
@@ -620,8 +636,16 @@ def _remove_small_split_kernel(mask_ref, reach1_ref, out_ref,
     tot = jnp.sum(remnant.astype(jnp.float32))
     drop_all = tot < float(min_size)
     relax_mask = jnp.logical_and(remnant, jnp.logical_not(drop_all))
-    _, sizes = _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
-                                count_ref, lab_ref, sizes_ref)
+
+    # Runtime skip of the relax + table phases on fast-path hits (see
+    # _fill_holes_split_kernel): stale sizes_ref values are masked out by
+    # the relax_mask AND below.
+    @pl.when(jnp.logical_not(drop_all))
+    def _run_relax():
+        _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
+                         count_ref, lab_ref, sizes_ref)
+
+    sizes = sizes_ref[:]
     kept = jnp.logical_and(relax_mask, sizes >= float(min_size))
     npix = jnp.sum(reach1.astype(jnp.float32))
     kept = jnp.logical_or(

@@ -1065,8 +1065,17 @@ def _binarize_phase2_kernel(kept_ref, reach1_ref, reach2_ref, out_ref,
     tot = jnp.sum(remnant.astype(jnp.float32))
     fill_all = tot < float(max_size)
     relax_mask = jnp.logical_and(remnant, jnp.logical_not(fill_all))
-    _, sizes2 = _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
-                                 count_ref, lab_ref, sizes_ref)
+
+    # Runtime skip on fast-path hits (see pallas_cc._fill_holes_split_
+    # kernel): the relax + table phases only execute when some interior
+    # hole might exceed max_size; stale sizes_ref values are masked out by
+    # the relax_mask AND below.
+    @pl.when(jnp.logical_not(fill_all))
+    def _run_relax():
+        _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
+                         count_ref, lab_ref, sizes_ref)
+
+    sizes2 = sizes_ref[:]
     fill = jnp.logical_and(relax_mask, sizes2 < float(max_size))
     fill = jnp.logical_or(fill, jnp.logical_and(remnant, fill_all))
     # canonical components: closed-form size = popcount (reach2 is grown
