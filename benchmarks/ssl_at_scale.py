@@ -85,6 +85,19 @@ def main():
     ap.add_argument("--per-id", type=int, default=8)
     ap.add_argument("--out", default="docs/artifacts")
     ap.add_argument("--workdir", default="/tmp/mbfp_ssl_at_scale")
+    ap.add_argument("--tag", default="r3",
+                    help="artifact suffix: ssl_at_scale_<tag>.json")
+    # from-scratch protocol overrides (the reference's 3-epoch/1e-5 budget,
+    # config_classifier.yml:17-40, assumes a PRETRAINED in21k backbone —
+    # timm is absent here so the backbone trains from scratch, which needs
+    # a real schedule; pass --epochs/--lr/--batch to override)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--warmup", type=int, default=None)
+    ap.add_argument("--device-augment", action="store_true",
+                    help="device-resident dataset + on-chip augmentation "
+                         "(train_ssl_device)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +129,16 @@ def main():
     cfg["sorted"]["embeddings_path"] = str(work / "save_models" / "embeddings.npz")
     cfg["sorted"]["dataset_roots"] = [str(data_dir)]
     cfg["sorted"]["output_dir"] = str(work / "sorted_dataset")
+    if args.epochs is not None:
+        cfg["ssl"]["training"]["epochs"] = args.epochs
+    if args.lr is not None:
+        cfg["ssl"]["training"]["lr"] = args.lr
+    if args.warmup is not None:
+        cfg["ssl"]["training"]["warmup_epochs"] = args.warmup
+    if args.batch is not None:
+        cfg["ssl"]["dataset"]["batch_size"] = args.batch
+    if args.device_augment:
+        cfg["ssl"]["training"]["device_augment"] = True
     cfg_path = work / "config.yml"
     cfg_path.write_text(yaml.safe_dump(cfg))
 
@@ -173,7 +196,8 @@ def main():
         "seconds_sorter": round(t_sort, 1),
         "device": str(jax.devices()[0]),
     }
-    (out_dir / "ssl_at_scale_r3.json").write_text(json.dumps(artifact, indent=2))
+    (out_dir / f"ssl_at_scale_{args.tag}.json").write_text(
+        json.dumps(artifact, indent=2))
     print(json.dumps({"family_purity": purity,
                       "chance": 1.0 / N_FAMILIES,
                       "silhouette": clustering_report.get("silhouette_cosine"),

@@ -77,30 +77,66 @@ def main(config_path: str | None = None, dataset_dirs=None,
         variables = {"params": payload["params"],
                      "batch_stats": payload["batch_stats"]}
     elif train:
-        console_step("Training SSL model")
-        steps_per_epoch = max(1, len(paths) // batch_size)
-        seed = dcfg.get("seed", 42)
+        # TPU-native option (ssl.training.device_augment): the uint8
+        # dataset lives in HBM and both contrastive views render inside
+        # the jit step (classifier.augment_device) — no per-epoch
+        # host->device view traffic (the host path ships ~2*N*224^2*4
+        # bytes per epoch through the relay). Requires uniform image
+        # shapes; falls back to host two_view_batches otherwise.
+        device_data = None
+        if tcfg.get("device_augment", False) and mesh is None:
+            import cv2
+            imgs = [cv2.imread(str(p), cv2.IMREAD_GRAYSCALE) for p in paths]
+            if (all(im is not None for im in imgs)
+                    and len({im.shape for im in imgs}) == 1):
+                device_data = np.stack(imgs)
+            else:
+                console_step("device_augment requested but image shapes "
+                             "differ; using host augmentation")
+        if device_data is not None:
+            console_step("Training SSL model (device-resident augmentation)")
+            from ..train.ssl_train import train_ssl_device
+            state, _ = train_ssl_device(
+                model, device_data, batch_size,
+                epochs=tcfg.get("epochs", 3),
+                lr=tcfg.get("lr", 1e-5),
+                weight_decay=tcfg.get("weight_decay", 1e-5),
+                grad_clip=tcfg.get("grad_clip", 1.0),
+                warmup_epochs=tcfg.get("warmup_epochs", 5),
+                temperature=tcfg.get("temperature", 0.5),
+                image_size=image_size,
+                seed=dcfg.get("seed", 42), save_dir=save_dir,
+                save_every=tcfg.get("save_every", 30),
+                early_stop_patience=tcfg.get("early_stop_patience", 15),
+            )
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        else:
+            console_step("Training SSL model")
+            steps_per_epoch = max(1, len(paths) // batch_size)
+            seed = dcfg.get("seed", 42)
 
-        def batches(epoch_counter=[0]):
-            epoch_counter[0] += 1
-            return two_view_batches(paths, batch_size, image_size,
-                                    seed=seed + epoch_counter[0])
+            def batches(epoch_counter=[0]):
+                epoch_counter[0] += 1
+                return two_view_batches(paths, batch_size, image_size,
+                                        seed=seed + epoch_counter[0])
 
-        state, _ = train_ssl(
-            model, batches, steps_per_epoch,
-            epochs=tcfg.get("epochs", 3),
-            lr=tcfg.get("lr", 1e-5),
-            weight_decay=tcfg.get("weight_decay", 1e-5),
-            grad_clip=tcfg.get("grad_clip", 1.0),
-            warmup_epochs=tcfg.get("warmup_epochs", 5),
-            temperature=tcfg.get("temperature", 0.5),
-            input_shape=(image_size, image_size),
-            seed=seed, save_dir=save_dir,
-            save_every=tcfg.get("save_every", 30),
-            early_stop_patience=tcfg.get("early_stop_patience", 15),
-            mesh=mesh,
-        )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+            state, _ = train_ssl(
+                model, batches, steps_per_epoch,
+                epochs=tcfg.get("epochs", 3),
+                lr=tcfg.get("lr", 1e-5),
+                weight_decay=tcfg.get("weight_decay", 1e-5),
+                grad_clip=tcfg.get("grad_clip", 1.0),
+                warmup_epochs=tcfg.get("warmup_epochs", 5),
+                temperature=tcfg.get("temperature", 0.5),
+                input_shape=(image_size, image_size),
+                seed=seed, save_dir=save_dir,
+                save_every=tcfg.get("save_every", 30),
+                early_stop_patience=tcfg.get("early_stop_patience", 15),
+                mesh=mesh,
+            )
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
     else:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -155,3 +155,85 @@ def train_ssl(model: SSLModel,
 
     save_checkpoint(save_dir / "ssl_model_final.msgpack", state)
     return state, history
+
+
+def train_ssl_device(model: SSLModel,
+                     data: np.ndarray,               # (N, H, W) uint8
+                     batch_size: int,
+                     epochs: int = 30,
+                     lr: float = 1e-3,
+                     weight_decay: float = 1e-4,
+                     grad_clip: float = 1.0,
+                     warmup_epochs: int = 2,
+                     temperature: float = 0.5,
+                     image_size: int = 224,
+                     seed: int = 42,
+                     save_dir: str | Path = "save_models",
+                     save_every: int = 30,
+                     early_stop_patience: int = 15,
+                     ) -> tuple[SSLTrainState, list[float]]:
+    """Device-resident SSL training: the uint8 dataset is shipped to the
+    chip ONCE and both contrastive views are rendered inside the jit step
+    (classifier.augment_device), so per-epoch host->device traffic drops
+    from ~2 * N * image_size^2 * 4 bytes to N_batches permutation indices.
+    Same loop semantics as ``train_ssl`` (train_ssl.py:51-161 lineage):
+    AdamW + cosine warmup, grad clip, best/periodic/final checkpoints,
+    early stopping. Use for datasets that fit in HBM as uint8 (a 16 GB v5e
+    chip holds ~190k 320x256 images)."""
+    from ..classifier.augment_device import augment_batch
+
+    save_dir = Path(save_dir)
+    n = data.shape[0]
+    steps_per_epoch = max(1, n // batch_size)
+    schedule = cosine_warmup_schedule(lr, warmup_epochs * steps_per_epoch,
+                                      epochs * steps_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    state = init_ssl_state(model, rng, (image_size, image_size), tx)
+    base_step = create_ssl_train_step(model, tx, temperature)
+
+    @jax.jit
+    def step(state: SSLTrainState, data_dev, idx, rng):
+        x = jnp.take(data_dev, idx, axis=0).astype(jnp.float32) / 255.0
+        x_i = augment_batch(x, jax.random.fold_in(rng, 0), image_size)
+        x_j = augment_batch(x, jax.random.fold_in(rng, 1), image_size)
+        return base_step(state, x_i, x_j, jax.random.fold_in(rng, 2))
+
+    data_dev = jax.device_put(np.asarray(data, dtype=np.uint8))
+    perm_rng = np.random.default_rng(seed)
+
+    history: list[float] = []
+    best_loss = float("inf")
+    patience = 0
+    for epoch in range(epochs):
+        t0 = time.time()
+        order = perm_rng.permutation(n)
+        losses = []
+        for b in range(steps_per_epoch):
+            idx = jnp.asarray(order[b * batch_size:(b + 1) * batch_size])
+            rng, sub = jax.random.split(rng)
+            state, loss = step(state, data_dev, idx, sub)
+            losses.append(loss)
+        epoch_loss = float(np.mean([float(l) for l in losses]))
+        history.append(epoch_loss)
+        logger.info("epoch %d: loss=%.4f (%.1fs)", epoch, epoch_loss,
+                    time.time() - t0)
+
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            patience = 0
+            save_checkpoint(save_dir / "ssl_best.msgpack", state)
+        else:
+            patience += 1
+            if patience >= early_stop_patience:
+                logger.info("early stop at epoch %d", epoch)
+                break
+        if save_every and (epoch + 1) % save_every == 0:
+            save_checkpoint(save_dir / f"ssl_epoch{epoch + 1}.msgpack", state)
+
+    save_checkpoint(save_dir / "ssl_model_final.msgpack", state)
+    return state, history

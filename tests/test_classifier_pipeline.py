@@ -176,3 +176,63 @@ def test_ssl_pipeline_clustering_quality_gate(tmp_path):
     assert report["purity"]["overall_purity"] >= 0.7, report["purity"]
     assert report["embedding_metrics"]["silhouette_cosine"] > 0.0, (
         report["embedding_metrics"])
+
+
+def test_device_augment_views():
+    """augment_device renders valid, random, in-range views and the
+    device-resident trainer takes a full step (classifier/dataset2/
+    dataset.py:13-59 semantics, on-chip)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.augment_device import (
+        augment_batch)
+
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.uniform(size=(4, 80, 64)).astype(np.float32))
+    f = jax.jit(lambda x, r: augment_batch(x, r, 48))
+    v1 = f(x, jax.random.PRNGKey(0))
+    v2 = f(x, jax.random.PRNGKey(1))
+    assert v1.shape == (4, 48, 48)
+    assert float(v1.min()) >= 0.0 and float(v1.max()) <= 1.0
+    # different rngs -> different views; same rng -> deterministic
+    assert float(jnp.abs(v1 - v2).mean()) > 1e-3
+    assert float(jnp.abs(v1 - f(x, jax.random.PRNGKey(0))).max()) == 0.0
+    # views keep image content (not constant / not pure noise): correlation
+    # of two views of the SAME image beats cross-image correlation on
+    # structured inputs
+    stripes = np.zeros((2, 80, 64), np.float32)
+    stripes[0, ::4] = 1.0
+    stripes[1, :, ::4] = 1.0
+    s = jnp.asarray(stripes)
+    a = f(s, jax.random.PRNGKey(2))
+    b = f(s, jax.random.PRNGKey(3))
+    def corr(u, v):
+        u = u - u.mean(); v = v - v.mean()
+        return float((u * v).mean() / (u.std() * v.std() + 1e-9))
+    same = corr(np.asarray(a[0]), np.asarray(b[0]))
+    cross = corr(np.asarray(a[0]), np.asarray(b[1]))
+    assert same > cross
+
+
+def test_train_ssl_device_step(tmp_path):
+    """One-epoch device-resident training runs and checkpoints."""
+    from multimodal_biometric_fingerprints_palms_tpu.classifier.pipeline import (
+        build_model)
+    from multimodal_biometric_fingerprints_palms_tpu.train.ssl_train import (
+        train_ssl_device)
+
+    from multimodal_biometric_fingerprints_palms_tpu.config.loader import (
+        ConfigNode)
+    cfg = ConfigNode({"ssl": {"model": {
+        "backbone": "effnetv2_tiny", "embedding_dim": 32,
+        "projection_hidden_dim": 32, "projection_dim": 16,
+        "projection_layers": 2, "freeze_backbone": False,
+        "use_predictor": True}}})
+    model = build_model(cfg)
+    g = np.random.default_rng(0)
+    data = (g.uniform(size=(8, 80, 64)) * 255).astype(np.uint8)
+    state, hist = train_ssl_device(
+        model, data, batch_size=4, epochs=1, lr=1e-3, warmup_epochs=1,
+        image_size=48, save_dir=tmp_path)
+    assert len(hist) == 1 and np.isfinite(hist[0])
+    assert (tmp_path / "ssl_model_final.msgpack").exists()
