@@ -154,7 +154,8 @@ def _rle_nhi(h: int, w: int) -> int:
 # iterations (each with VMEM read-modify-write dependencies that stall the
 # pipeline); 32 rows keeps the per-chunk lo one-hot at (LO, 32w) bf16
 # (~2 MB at w=256) comfortably in VMEM.
-_RLE_ROWS = 32
+import os as _os
+_RLE_ROWS = int(_os.environ.get("MBFP_RLE_ROWS", "32"))
 
 
 def _rle_onehots(chunk, w: int, lo_iota, rows: int):
@@ -217,9 +218,13 @@ def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
             return _
 
         lax.fori_loop(0, gmax, group_body, None)
-        return _
 
-    lax.fori_loop(0, h // rows, chunk_body, None)
+    # Unrolled chunk walk (static trip count): fori_loop serializes Mosaic's
+    # scheduling across chunks, and the hist's count_ref read-modify-write
+    # made that a real dependency chain; unrolled, chunk c+1's one-hot
+    # extraction overlaps chunk c's matmul+accumulate.
+    for c in range(h // rows):
+        chunk_body(c, None)
 
 
 def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
@@ -251,9 +256,11 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
                              jnp.zeros((1, rows * w), jnp.float32))
         sizes_ref[pl.ds(c * rows, rows), :] = jnp.concatenate(
             [flat[:, k * w:(k + 1) * w] for k in range(rows)], axis=0)
-        return _
 
-    lax.fori_loop(0, h // rows, chunk_body, None)
+    # Unrolled (see _runid_hist): lookup chunks are fully independent —
+    # each reads the complete count table and writes its own sizes rows.
+    for c in range(h // rows):
+        chunk_body(c, None)
     return sizes_ref[:]
 
 
@@ -261,9 +268,22 @@ def _relax_and_sizes(fg, h: int, w: int, connectivity: int, max_iters: int,
                      count_ref, lab_ref, sizes_ref):
     """Run-id labeling + per-pixel component-size map (the filter-kernel
     workhorse)."""
+    import os as _os
+    _ab = _os.environ.get("MBFP_ABLATE_CC", "")
     ids = _run_ids(fg, h, w)
-    label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
+    if _ab == "norelax":      # ceiling probe: skip the relax (WRONG results)
+        label = ids
+    else:
+        label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
+    if _ab in ("notable", "norelax"):   # ceiling probe: skip hist+lookup
+        sizes_ref[:] = jnp.sum(fg.astype(jnp.float32)) + jnp.zeros_like(
+            sizes_ref)
+        return label, sizes_ref[:]
     _runid_hist(label, fg, h, w, count_ref, lab_ref)
+    if _ab == "nolookup":               # ceiling probe: skip lookup only
+        sizes_ref[:] = jnp.sum(fg.astype(jnp.float32)) + jnp.zeros_like(
+            sizes_ref)
+        return label, sizes_ref[:]
     sizes = _runid_lookup(h, w, count_ref, lab_ref, sizes_ref)
     return label, sizes
 
