@@ -160,22 +160,27 @@ _RLE_ROWS = int(_os.environ.get("MBFP_RLE_ROWS", "32"))
 
 def _rle_onehots(chunk, w: int, lo_iota, rows: int):
     """(1, rows*w) hi values and (LO, rows*w) lo one-hot for a label chunk,
-    concatenated along the contracted lane axis.
+    flattened along the contracted lane axis.
 
     Rows are extracted with a sublane-masked sum rather than `chunk[k:k+1]`:
     sliced rows keep their source sublane offset and Mosaic rejects lane
-    concatenation of vectors with mismatched sublane offsets."""
+    concatenation of vectors with mismatched sublane offsets.
+
+    Only the (1, w) label rows are concatenated (32 KB of lane copies);
+    the (LO, rows*w) one-hot is then built IN PLACE by one broadcast
+    compare against a lane iota. An earlier version concatenated 32
+    per-row (LO, w) one-hot pieces instead — ~2 MB of lane-offset copies
+    per chunk per phase, which dominated the fused split kernels."""
     sub_iota = lax.broadcasted_iota(jnp.int32, chunk.shape, 0)
-    his, lo_ohs = [], []
+    vals = []
     for k in range(rows):
-        row = jnp.sum(jnp.where(sub_iota == k, chunk, 0.0), axis=0,
-                      keepdims=True)
-        hi = jnp.floor(row / float(_RLE_LO))
-        lo = row - hi * float(_RLE_LO)
-        his.append(hi)
-        lo_ohs.append((lo_iota == lo).astype(jnp.bfloat16))
-    return (jnp.concatenate(his, axis=1),
-            jnp.concatenate(lo_ohs, axis=1))
+        vals.append(jnp.sum(jnp.where(sub_iota == k, chunk, 0.0), axis=0,
+                            keepdims=True))
+    flat = jnp.concatenate(vals, axis=1)          # (1, rows*w) labels
+    hi = jnp.floor(flat / float(_RLE_LO))
+    lo = flat - hi * float(_RLE_LO)
+    lo_oh = (lo_iota == lo).astype(jnp.bfloat16)  # (LO, rows*w)
+    return hi, lo_oh
 
 
 def _chunk_rows(h: int) -> int:
@@ -193,7 +198,7 @@ def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
     lab_ref[:] = jnp.where(fg, label_f, -256.0)
     count_ref[:] = jnp.zeros_like(count_ref)
     rows = _chunk_rows(h)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, rows * w), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
         jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
@@ -202,13 +207,14 @@ def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
         chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
-
         def group_body(g, _):
             # extraction inside the group loop: recomputed when gmax > 1
-            # (rare — real masks have <= ~4k runs, gmax <= 2) but skipped
-            # entirely for foreground-free chunks (gmax == 0)
+            # (rare — labels are run-id-compacted, gmax <= 2 on real masks)
+            # but skipped entirely for foreground-free chunks (gmax == 0),
+            # which dominate remnant masks; hoisting it out measured ~1 ms
+            # SLOWER per batch for exactly that reason.
             hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
-            oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
+            oh_hi = (hi_iota + jnp.float32(g * _RLE_GROUP)
                      == hi_cat).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
                 oh_hi, lo_oh, (((1,), (1,)), ((), ())),
@@ -232,7 +238,7 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
     same dynamic group bound. Background pixels get 0 (foreground-free
     chunks skip straight to the zero write)."""
     rows = _chunk_rows(h)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, w), 0).astype(
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, rows * w), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
         jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
@@ -241,10 +247,9 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
         chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
-
         def group_body(g, acc):
             hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
-            oh_hi = (hi_iota + (g * _RLE_GROUP).astype(jnp.float32)
+            oh_hi = (hi_iota + jnp.float32(g * _RLE_GROUP)
                      == hi_cat).astype(jnp.float32)
             tmp = jax.lax.dot_general(
                 count_ref[pl.ds(g * _RLE_GROUP, _RLE_GROUP), :],
