@@ -179,6 +179,9 @@ def _rle_onehots(chunk, w: int, lo_iota, rows: int):
     flat = jnp.concatenate(vals, axis=1)          # (1, rows*w) labels
     hi = jnp.floor(flat / float(_RLE_LO))
     lo = flat - hi * float(_RLE_LO)
+    # lo_iota is an (LO, 1) COLUMN — the (LO, rows*w) compare broadcasts
+    # it along lanes in registers instead of re-reading a materialized
+    # (LO, rows*w) f32 iota plane (4 MB/chunk of VMEM traffic)
     lo_oh = (lo_iota == lo).astype(jnp.bfloat16)  # (LO, rows*w)
     return hi, lo_oh
 
@@ -198,21 +201,23 @@ def _runid_hist(label_f, fg, h: int, w: int, count_ref, lab_ref):
     lab_ref[:] = jnp.where(fg, label_f, -256.0)
     count_ref[:] = jnp.zeros_like(count_ref)
     rows = _chunk_rows(h)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, rows * w), 0).astype(
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, 1), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
-        jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
+        jnp.int32, (_RLE_GROUP, 1), 0).astype(jnp.float32)
 
     def chunk_body(c, _):
         chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
+
         def group_body(g, _):
             # extraction inside the group loop: recomputed when gmax > 1
-            # (rare — labels are run-id-compacted, gmax <= 2 on real masks)
-            # but skipped entirely for foreground-free chunks (gmax == 0),
-            # which dominate remnant masks; hoisting it out measured ~1 ms
-            # SLOWER per batch for exactly that reason.
+            # (rare — in-pipeline remnant chunks are measured gmax <= 1
+            # almost always) but skipped entirely for foreground-free
+            # chunks (gmax == 0), which dominate remnant masks. Both an
+            # ungated hoist (1128 vs 1140 img/s) and a pl.when(gmax > 0)-
+            # gated hoist (1124) measured SLOWER than this in-loop form.
             hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
             oh_hi = (hi_iota + jnp.float32(g * _RLE_GROUP)
                      == hi_cat).astype(jnp.bfloat16)
@@ -238,15 +243,16 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
     same dynamic group bound. Background pixels get 0 (foreground-free
     chunks skip straight to the zero write)."""
     rows = _chunk_rows(h)
-    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, rows * w), 0).astype(
+    lo_iota = lax.broadcasted_iota(jnp.int32, (_RLE_LO, 1), 0).astype(
         jnp.float32)
     hi_iota = lax.broadcasted_iota(
-        jnp.int32, (_RLE_GROUP, rows * w), 0).astype(jnp.float32)
+        jnp.int32, (_RLE_GROUP, 1), 0).astype(jnp.float32)
 
     def chunk_body(c, _):
         chunk = lab_ref[pl.ds(c * rows, rows), :]
         gmax = (jnp.max(chunk).astype(jnp.int32)
                 // (_RLE_GROUP * _RLE_LO)) + 1
+
         def group_body(g, acc):
             hi_cat, lo_oh = _rle_onehots(chunk, w, lo_iota, rows)
             oh_hi = (hi_iota + jnp.float32(g * _RLE_GROUP)
@@ -281,8 +287,13 @@ def _relax_and_sizes(fg, h: int, w: int, connectivity: int, max_iters: int,
     else:
         label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
     if _ab in ("notable", "norelax"):   # ceiling probe: skip hist+lookup
+        # NOTE: with "notable" the relax result is DEAD (nothing consumes
+        # `label`) and Mosaic DCEs it — this probe removes relax+hist+lookup
         sizes_ref[:] = jnp.sum(fg.astype(jnp.float32)) + jnp.zeros_like(
             sizes_ref)
+        return label, sizes_ref[:]
+    if _ab == "nohist":   # ceiling probe: keep the relax LIVE, skip tables
+        sizes_ref[:] = label + jnp.zeros_like(sizes_ref)
         return label, sizes_ref[:]
     _runid_hist(label, fg, h, w, count_ref, lab_ref)
     if _ab == "nolookup":               # ceiling probe: skip lookup only
