@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--device-augment", action="store_true",
                     help="device-resident dataset + on-chip augmentation "
                          "(train_ssl_device)")
+    ap.add_argument("--cluster-method", default=None,
+                    choices=["kmeans", "agglomerative"],
+                    help="override ssl.clustering.method")
     args = ap.parse_args()
 
     import jax
@@ -139,6 +142,8 @@ def main():
         cfg["ssl"]["dataset"]["batch_size"] = args.batch
     if args.device_augment:
         cfg["ssl"]["training"]["device_augment"] = True
+    if args.cluster_method is not None:
+        cfg["ssl"]["clustering"]["method"] = args.cluster_method
     cfg_path = work / "config.yml"
     cfg_path.write_text(yaml.safe_dump(cfg))
 

@@ -19,7 +19,8 @@ import numpy as np
 import jax
 
 from ..config import load_classifier_config
-from ..clustering import kmeans, pca_reduce, evaluate_clustering
+from ..clustering import (agglomerative_fast, evaluate_clustering, kmeans,
+                          pca_reduce)
 from ..models.ssl_model import SSLModel
 from ..train.ssl_train import train_ssl, load_checkpoint, init_ssl_state
 from ..utils.logging import console_step, get_file_logger
@@ -158,11 +159,23 @@ def main(config_path: str | None = None, dataset_dirs=None,
     if pca_dim and x.shape[1] > pca_dim and x.shape[0] > pca_dim:
         x, _, _ = pca_reduce(x, pca_dim)
         x = np.asarray(x)
-    labels, centers, inertia = kmeans(
-        jax.random.PRNGKey(dcfg.get("seed", 42)), x, n_clusters)
+    # method selection mirrors cluster_embeddings.py:105-161's agglomerative
+    # option; "agglomerative" = the two-stage path (kmeans to <=512 centers,
+    # cosine average-linkage merge) which resists the single-giant-cluster
+    # collapse kmeans shows on weak embeddings
+    method = ccfg.get("method", "kmeans")
+    if method == "agglomerative":
+        labels = agglomerative_fast(
+            jax.random.PRNGKey(dcfg.get("seed", 42)), x, n_clusters)
+        inertia = None
+    else:
+        labels, centers, inertia = kmeans(
+            jax.random.PRNGKey(dcfg.get("seed", 42)), x, n_clusters)
+        inertia = float(inertia)
     labels = np.asarray(labels)
     report = evaluate_clustering(x, labels, n_clusters)
-    report["inertia"] = float(inertia)
+    report["inertia"] = inertia
+    report["method"] = method
     with open(save_dir / "clustering_report_detailed.json", "w") as f:
         json.dump(report, f, indent=2)
 
