@@ -55,17 +55,29 @@ def main():
         pass
 
     # -- JPEG decode: native threaded batch loader --------------------------
+    # u8 path = what the runner actually stages (decode rows land directly
+    # in the padded uint8 batch buffer; no host float roundtrip). The old
+    # float path is kept for comparison — its 2x penalty vs u8 was the
+    # round-4 "native slower than cv2" finding.
     if native_loader.native_available():
-        native_loader.batch_load(paths[:8], 320, 256)  # warm
+        native_loader.batch_load_u8(paths[:8], 320, 256)  # warm
+        t0 = time.perf_counter()
+        native_loader.batch_load_u8(paths, 320, 256)
+        dt = time.perf_counter() - t0
+        out["decode_native_u8_img_per_sec"] = round(args.n / dt, 1)
         t0 = time.perf_counter()
         native_loader.batch_load(paths, 320, 256)
         dt = time.perf_counter() - t0
-        out["decode_native_img_per_sec"] = round(args.n / dt, 1)
+        out["decode_native_f32_img_per_sec"] = round(args.n / dt, 1)
 
-    # -- JPEG decode: cv2 sequential (the reference's load_image) -----------
+    # -- JPEG decode: cv2 + pack (the reference's load_image + batch pad) ---
+    # Fair arm: cv2.imread returns a bare uint8 array; the pipeline still
+    # has to place it in the padded batch, so the pack is timed too.
     t0 = time.perf_counter()
-    for p in paths:
-        cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    batch = np.zeros((args.n, 320, 256), np.uint8)
+    for i, p in enumerate(paths):
+        im = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        batch[i, :im.shape[0], :im.shape[1]] = im
     dt = time.perf_counter() - t0
     out["decode_cv2_img_per_sec"] = round(args.n / dt, 1)
 
@@ -93,8 +105,11 @@ def main():
     dt = time.perf_counter() - t0
     out["jpeg_write_pairs_per_sec"] = round(args.n / dt, 1)
 
-    # serial composition = everything the host does per image, one thread
-    serial = (1.0 / out["decode_cv2_img_per_sec"]
+    # serial composition = everything the host does per image, one thread,
+    # with the decode arm the runner actually deploys (native u8 if built)
+    dec = out.get("decode_native_u8_img_per_sec",
+                  out["decode_cv2_img_per_sec"])
+    serial = (1.0 / dec
               + 1.0 / out["json_write_img_per_sec"]
               + 1.0 / out["jpeg_write_pairs_per_sec"])
     out["metric"] = "host-side serial img/sec (decode + JSON + 2 JPEG writes)"

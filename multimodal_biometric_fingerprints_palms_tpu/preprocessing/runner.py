@@ -115,19 +115,19 @@ def run_preprocessing(input_dir: str | Path,
     # upload link carries 4x fewer bytes (utils/transfer.py rationale).
     images, metas = [], []
     if native:
-        from ..utils.native_loader import batch_load
-        # chunked decode into a bounded staging buffer, cropped per image
+        from ..utils.native_loader import batch_load_u8
+        # chunked decode into a bounded staging buffer, cropped per image;
+        # the u8 path decodes JPEG rows straight into the batch buffer —
+        # no host-side float roundtrip (the device casts to f32/255)
         cap = 1024
         for i0 in range(0, len(paths), batch_size):
             chunk = paths[i0:i0 + batch_size]
-            staged, status, ws, hs = batch_load(chunk, cap, cap)
+            staged, status, ws, hs = batch_load_u8(chunk, cap, cap)
             for j, p in enumerate(chunk):
                 if status[j] != 0:
                     logger.error("unreadable image %s", p)
                     continue
-                u8 = np.round(
-                    staged[j, :hs[j], :ws[j]] * 255.0).astype(np.uint8)
-                images.append(u8)
+                images.append(staged[j, :hs[j], :ws[j]])
                 metas.append((p, (int(hs[j]), int(ws[j]))))
     else:
         for p in paths:

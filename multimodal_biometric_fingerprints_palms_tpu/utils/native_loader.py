@@ -38,6 +38,13 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ]
+        lib.mbfp_batch_load_u8.restype = ctypes.c_int
+        lib.mbfp_batch_load_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -67,6 +74,35 @@ def batch_load(paths, out_h: int, out_w: int, num_threads: int = 0):
     lib.mbfp_batch_load(
         c_paths, n,
         batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_h, out_w,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        heights.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return batch, status, widths, heights
+
+
+def batch_load_u8(paths, out_h: int, out_w: int, num_threads: int = 0):
+    """Load images into a padded (N, H, W) uint8 batch — the runner's
+    staging format (device casts to f32/255 on-chip). JPEG rows decode
+    directly into the strided batch buffer: no intermediate pixel buffer,
+    no float roundtrip on the host.
+
+    Returns (batch, status, widths, heights); status[i] == 0 on success.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    batch = np.zeros((n, out_h, out_w), dtype=np.uint8)
+    status = np.ones((n,), dtype=np.int32)
+    widths = np.zeros((n,), dtype=np.int32)
+    heights = np.zeros((n,), dtype=np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.mbfp_batch_load_u8(
+        c_paths, n,
+        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

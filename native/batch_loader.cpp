@@ -116,6 +116,51 @@ int decode_bmp_gray(const uint8_t* data, size_t len,
   return 0;
 }
 
+// Decode a grayscale JPEG from memory DIRECTLY into a strided uint8
+// destination (one row per output-batch row, stride = padded batch width).
+// Skips the intermediate pixel buffer AND the float conversion entirely —
+// this is the hot path for the runner's uint8-staged batches
+// (preprocessing/runner.py stages uint8; the device casts to f32/255).
+// Returns 0 on success, 2 if the image exceeds (max_w, max_h).
+int decode_jpeg_gray_into(const uint8_t* data, size_t len, uint8_t* dst,
+                          int stride, int max_w, int max_h,
+                          int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_GRAYSCALE;
+  jpeg_calc_output_dimensions(&cinfo);
+  const int w = cinfo.output_width;
+  const int h = cinfo.output_height;
+  if (w > max_w || h > max_h) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_start_decompress(&cinfo);
+  uint8_t* rows[32];
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = cinfo.output_scanline;
+    int k = 0;
+    for (; k < 32 && base + k < h; ++k) {
+      rows[k] = dst + static_cast<size_t>(base + k) * stride;
+    }
+    jpeg_read_scanlines(&cinfo, rows, k);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *width = w;
+  *height = h;
+  return 0;
+}
+
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
@@ -180,6 +225,78 @@ int mbfp_batch_load(const char** paths, int n, float* out, int out_h,
       if (h < out_h) {
         std::memset(dst + static_cast<size_t>(h) * out_w, 0,
                     sizeof(float) * (out_h - h) * out_w);
+      }
+      status[i] = 0;
+      widths[i] = w;
+      heights[i] = h;
+      ok.fetch_add(1);
+    }
+  };
+
+  const int nt = num_threads > 0 ? num_threads
+                                 : static_cast<int>(std::thread::hardware_concurrency());
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// Decode + pad ``n`` images into out (n, H, W) uint8 — the runner's native
+// staging format (uint8 to the device, which casts to f32/255 on-chip, so
+// the host never touches floats and the upload link carries 4x fewer
+// bytes). JPEGs decode directly into the strided batch buffer (no
+// intermediate pixel buffer); only BMP takes the copy path.
+int mbfp_batch_load_u8(const char** paths, int n, uint8_t* out, int out_h,
+                       int out_w, int* status, int* widths, int* heights,
+                       int num_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> ok(0);
+  const size_t plane = static_cast<size_t>(out_h) * out_w;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> file_buf, pixels;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = 1;
+      widths[i] = heights[i] = 0;
+      uint8_t* dst = out + plane * i;
+      int w = 0, h = 0;
+      int rc = 1;
+      bool in_place = false;
+      if (!read_file(paths[i], &file_buf)) {
+        if (file_buf.size() > 2 && file_buf[0] == 0xFF && file_buf[1] == 0xD8) {
+          rc = decode_jpeg_gray_into(file_buf.data(), file_buf.size(), dst,
+                                     out_w, out_w, out_h, &w, &h);
+          in_place = (rc == 0);
+        } else if (file_buf.size() > 2 && file_buf[0] == 'B' && file_buf[1] == 'M') {
+          rc = decode_bmp_gray(file_buf.data(), file_buf.size(), &pixels, &w, &h);
+        }
+      }
+      if (rc || w > out_w || h > out_h) {
+        std::memset(dst, 0, plane);
+        continue;
+      }
+      if (in_place) {
+        // zero only the padding (right margin per decoded row + bottom rows)
+        if (w < out_w) {
+          for (int y = 0; y < h; ++y) {
+            std::memset(dst + static_cast<size_t>(y) * out_w + w, 0, out_w - w);
+          }
+        }
+      } else {
+        for (int y = 0; y < h; ++y) {
+          std::memcpy(dst + static_cast<size_t>(y) * out_w,
+                      pixels.data() + static_cast<size_t>(y) * w, w);
+          if (w < out_w) {
+            std::memset(dst + static_cast<size_t>(y) * out_w + w, 0, out_w - w);
+          }
+        }
+      }
+      if (h < out_h) {
+        std::memset(dst + static_cast<size_t>(h) * out_w, 0,
+                    static_cast<size_t>(out_h - h) * out_w);
       }
       status[i] = 0;
       widths[i] = w;
