@@ -533,8 +533,16 @@ def _nlm_kernel_sym2(img_ref, strip_ref, acc_out, wacc_out,
     last = jnp.float32(d == ndx - 1)           # dx == 0 on the last step
     acc = acc_ref[:]
     wacc = wacc_ref[:]
+    # Offsets excluded on the LAST step (dx == 0: direct (dy>0, 0) is the
+    # mirror of (-dy, 0), and (0, 0) has no mirror) accumulate into
+    # separate *_x planes scaled ONCE by (1 - last) per grid step — the
+    # per-offset sd/sm scalar multiplies were ~4 VPU plane-ops per dy.
+    acc_x = jnp.zeros((hh, ww), f32)
+    wacc_x = jnp.zeros((hh, ww), f32)
     sv = jnp.zeros((hh, ww), f32)
     sw = jnp.zeros((hh, ww), f32)
+    sv_x = jnp.zeros((hh, ww), f32)
+    sw_x = jnp.zeros((hh, ww), f32)
     for dyi in range(search):
         dy = dyi - r
         shifted = strip[dyi:dyi + hh, :]
@@ -548,21 +556,39 @@ def _nlm_kernel_sym2(img_ref, strip_ref, acc_out, wacc_out,
                              preferred_element_type=jnp.float32,
                              precision=prec)
         wgt = jnp.exp(d2 * inv_f).astype(dt)
+        val = (wgt * shifted).astype(f32)
+        wv = wgt.astype(f32)                   # shared direct/mirror weight
         # direct (dy, dx): all dy when dx < 0; only dy <= 0 when dx == 0
-        sd = jnp.float32(1.0) if dy <= 0 else 1.0 - last
-        acc = acc + sd * (wgt * shifted).astype(f32)
-        wacc = wacc + sd * wgt.astype(f32)
-        # mirror (-dy, -dx): all dy when dx < 0; only dy < 0 when dx == 0
-        sm = jnp.float32(1.0) if dy < 0 else 1.0 - last
-        pv = sm * (wgt * xc).astype(f32)
-        pw = sm * wgt.astype(f32)
-        sv = sv + _shift_no_wrap(pv, dy, 0, 0.0)
-        sw = sw + _shift_no_wrap(pw, dy, 0, 0.0)
-    acc_ref[:] = acc
-    wacc_ref[:] = wacc
+        if dy <= 0:
+            acc = acc + val
+            wacc = wacc + wv
+        else:
+            acc_x = acc_x + val
+            wacc_x = wacc_x + wv
+        # mirror (-dy, -dx): all dy when dx < 0; only dy < 0 when dx == 0.
+        # Mirror transport is a BARE circular roll: wrapped rows land
+        # within |dy| <= r < ring of the border, and the final interior
+        # mask (ring = r + 3) zeroes the whole band — the edge-fill
+        # select of _shift_no_wrap was pure overhead here.
+        pv = (wgt * xc).astype(f32)
+        if dy < 0:
+            sv = sv + pltpu.roll(pv, hh + dy, 0)
+            sw = sw + pltpu.roll(wv, hh + dy, 0)
+        elif dy == 0:
+            sv_x = sv_x + pv
+            sw_x = sw_x + wv
+        else:
+            sv_x = sv_x + pltpu.roll(pv, dy, 0)
+            sw_x = sw_x + pltpu.roll(wv, dy, 0)
+    keep = 1.0 - last
+    acc_ref[:] = acc + keep * acc_x
+    wacc_ref[:] = wacc + keep * wacc_x
+    sv = sv + keep * sv_x
+    sw = sw + keep * sw_x
+    # dynamic lane roll, same bare-roll argument (|dx| <= r < ring)
     dx_dyn = d - (ndx - 1)                     # <= 0
-    macc = macc_ref[:] + _shift_lanes_dyn(sv, dx_dyn, 0.0)
-    mwacc = mwacc_ref[:] + _shift_lanes_dyn(sw, dx_dyn, 0.0)
+    macc = macc_ref[:] + pltpu.roll(sv, ww + dx_dyn, axis=1)
+    mwacc = mwacc_ref[:] + pltpu.roll(sw, ww + dx_dyn, axis=1)
     macc_ref[:] = macc
     mwacc_ref[:] = mwacc
 
