@@ -276,16 +276,27 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
 
 
 def _relax_and_sizes(fg, h: int, w: int, connectivity: int, max_iters: int,
-                     count_ref, lab_ref, sizes_ref):
+                     count_ref, lab_ref, sizes_ref, remnant: bool = False):
     """Run-id labeling + per-pixel component-size map (the filter-kernel
-    workhorse)."""
+    workhorse).
+
+    ``remnant=True`` marks masks that are split-kernel leftovers (specks /
+    genuine small holes after the canonical components were resolved
+    bit-packed): their runs are short, so the doubling scans truncate at
+    ``MBFP_REMNANT_MAXSHIFT`` (fixpoint-identical for ANY mask — a longer
+    run just takes extra convergence sweeps, see _seg_min_doubling)."""
     import os as _os
     _ab = _os.environ.get("MBFP_ABLATE_CC", "")
+    max_shift = None
+    if remnant:
+        ms = int(_os.environ.get("MBFP_REMNANT_MAXSHIFT", "0"))
+        max_shift = ms if ms > 0 else None
     ids = _run_ids(fg, h, w)
     if _ab == "norelax":      # ceiling probe: skip the relax (WRONG results)
         label = ids
     else:
-        label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids)
+        label = _label_relax(fg, h, w, connectivity, max_iters, label0=ids,
+                             max_shift=max_shift)
     if _ab in ("notable", "norelax"):   # ceiling probe: skip hist+lookup
         # NOTE: with "notable" the relax result is DEAD (nothing consumes
         # `label`) and Mosaic DCEs it — this probe removes relax+hist+lookup
@@ -572,7 +583,7 @@ def _fill_holes_split_kernel(mask_ref, reach1_ref, out_ref,
     @pl.when(jnp.logical_not(fill_all))
     def _run_relax():
         _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
-                         count_ref, lab_ref, sizes_ref)
+                         count_ref, lab_ref, sizes_ref, remnant=True)
 
     sizes = sizes_ref[:]
     fill = jnp.logical_and(relax_mask, sizes < float(max_size))
@@ -679,7 +690,7 @@ def _remove_small_split_kernel(mask_ref, reach1_ref, out_ref,
     @pl.when(jnp.logical_not(drop_all))
     def _run_relax():
         _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
-                         count_ref, lab_ref, sizes_ref)
+                         count_ref, lab_ref, sizes_ref, remnant=True)
 
     sizes = sizes_ref[:]
     kept = jnp.logical_and(relax_mask, sizes >= float(min_size))
@@ -729,30 +740,153 @@ def remove_small_split_pallas(mask: jnp.ndarray, min_size: int,
     return (out > 0.5).reshape(mask.shape)
 
 
+def _split2_kernel(mask_ref, reach1_ref, reach2_ref, out_ref,
+                   count_ref, lab_ref, sizes_ref, *,
+                   h: int, w: int, connectivity: int,
+                   max_iters: int, thresh: int, holes: bool):
+    """Size filter with TWO canonical components pre-resolved packed: the
+    border-touching canonical component (reach1) and the center-seeded
+    canonical component of what reach1 missed (reach2). Both get
+    closed-form popcount size decisions; only the remnant relaxes per
+    image (with the total-below-threshold fast path skipping even that).
+
+    Why two planes: after hull segmentation the outside-of-hull area is
+    dark, Sauvola marks it foreground, and it WALLS the valley network off
+    from the border — so in the objects pass the border ring, and in the
+    hole pass the whole walled-off valley network, are each a huge
+    component that a single-plane split would relax per image every image
+    (the measured ~26 ms/batch table cost of round 4). Exact for any
+    component count: non-canonical border nubs and secondary patches land
+    in the remnant and relax per image.
+
+    holes=False: keep foreground components with size >= thresh.
+    holes=True: fill background components with size < thresh
+    (out = mask | fill) — remove_small_holes semantics
+    (fingerprint_preprocess.py:73-74,167-168)."""
+    m = mask_ref[0] > 0.5
+    bit = (pl.program_id(0) % 32).astype(jnp.int32)
+    r1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
+    r2 = (lax.shift_right_logical(reach2_ref[0], bit) & 1) > 0
+    work = jnp.logical_not(m) if holes else m
+    remnant = jnp.logical_and(work, jnp.logical_not(
+        jnp.logical_or(r1, r2)))
+    tot = jnp.sum(remnant.astype(jnp.float32))
+    fast = tot < float(thresh)
+    relax_mask = jnp.logical_and(remnant, jnp.logical_not(fast))
+
+    # Runtime skip of relax + table phases on fast-path hits; stale
+    # sizes_ref values are masked out by the relax_mask AND below.
+    @pl.when(jnp.logical_not(fast))
+    def _run_relax():
+        _relax_and_sizes(relax_mask, h, w, connectivity, max_iters,
+                         count_ref, lab_ref, sizes_ref, remnant=True)
+
+    sizes = sizes_ref[:]
+    npix1 = jnp.sum(r1.astype(jnp.float32))
+    npix2 = jnp.sum(r2.astype(jnp.float32))
+    if holes:
+        fill = jnp.logical_and(relax_mask, sizes < float(thresh))
+        fill = jnp.logical_or(fill, jnp.logical_and(remnant, fast))
+        fill = jnp.logical_or(fill,
+                              jnp.logical_and(r1, npix1 < float(thresh)))
+        fill = jnp.logical_or(fill,
+                              jnp.logical_and(r2, npix2 < float(thresh)))
+        out_ref[0] = jnp.logical_or(m, fill).astype(jnp.float32)
+    else:
+        kept = jnp.logical_and(relax_mask, sizes >= float(thresh))
+        kept = jnp.logical_or(kept,
+                              jnp.logical_and(r1, npix1 >= float(thresh)))
+        kept = jnp.logical_or(kept,
+                              jnp.logical_and(r2, npix2 >= float(thresh)))
+        out_ref[0] = kept.astype(jnp.float32)
+
+
+def _split2_pallas(mask: jnp.ndarray, thresh: int, holes: bool,
+                   connectivity: int, max_iters: int,
+                   interpret: bool) -> jnp.ndarray:
+    """Driver for _split2_kernel: resolves the two canonical components
+    bit-packed (32 images per int32 plane), then filters per image."""
+    from .pallas_bitpack import (border_reach_packed, reach_packed,
+                                 unpack_bits)
+    lead = mask.shape[:-2]
+    h, w = mask.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    mask_b = jnp.asarray(mask, bool).reshape(b, h, w)
+    work = jnp.logical_not(mask_b) if holes else mask_b
+    reach1 = border_reach_packed(work, connectivity=connectivity,
+                                 max_iters=max_iters, interpret=interpret,
+                                 packed=True, union=False)
+    interior = jnp.logical_and(work, jnp.logical_not(
+        unpack_bits(reach1, b).reshape(b, h, w)))
+    reach2 = reach_packed(interior, center_seed(interior),
+                          connectivity=connectivity, max_iters=max_iters,
+                          interpret=interpret, packed=True)
+    nhi = _rle_nhi(h, w)
+    kern = functools.partial(_split2_kernel, h=h, w=w,
+                             connectivity=connectivity, max_iters=max_iters,
+                             thresh=thresh, holes=holes)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, h, w), lambda i: (i // 32, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[spec, pspec, pspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nhi, _RLE_LO), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32),
+                        pltpu.VMEM((h, w), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(mask_b.astype(jnp.float32), reach1, reach2)
+    return (out > 0.5).reshape(mask.shape)
+
+
+def remove_small_split2_pallas(mask: jnp.ndarray, min_size: int,
+                               connectivity: int = 1, max_iters: int = 512,
+                               interpret: bool = False) -> jnp.ndarray:
+    """remove_small_objects(min_size) with BOTH the border-touching
+    canonical fg component (e.g. the outside-of-hull Sauvola ring) and the
+    center-seeded canonical component (the main ridge network) resolved
+    bit-packed; only true specks relax per image."""
+    return _split2_pallas(mask, min_size, False, connectivity, max_iters,
+                          interpret)
+
+
+def fill_holes_split2_pallas(mask: jnp.ndarray, max_size: int,
+                             connectivity: int = 1, max_iters: int = 512,
+                             interpret: bool = False) -> jnp.ndarray:
+    """remove_small_holes(max_size) with BOTH the border-connected
+    background and the center-seeded walled-off valley network resolved
+    bit-packed; only genuine small interior holes relax per image."""
+    return _split2_pallas(mask, max_size, True, connectivity, max_iters,
+                          interpret)
+
+
 def clean_mask_split(mask: jnp.ndarray, min_size: int, max_size: int,
                      connectivity: int = 1, max_iters: int = 512,
                      interpret: bool = False) -> jnp.ndarray:
     """remove_small_objects(min_size) + remove_small_holes(max_size)
     (fingerprint_preprocess.py:73-74,167-168 semantics, identical to
-    cc_filter_pallas(mode="clean")) with BOTH slow relaxations split onto
-    packed planes: the objects pass resolves the center-seeded main ridge
-    network packed (32 images per int32 plane) and relaxes only remnant
-    specks per image; the hole pass resolves the border-connected valley
-    background packed (mean 27 / max 58 sweeps on real valley masks) and
-    relaxes only interior holes per image. The packed legs run the
-    expensive sweeps at 1/32nd the data volume."""
-    kept = remove_small_split_pallas(mask, min_size,
-                                     connectivity=connectivity,
-                                     max_iters=max_iters, interpret=interpret)
-    from .pallas_bitpack import border_reach_packed
-    inv = jnp.logical_not(kept)
-    reach1 = border_reach_packed(inv, connectivity=connectivity,
-                                 max_iters=max_iters,
-                                 interpret=interpret, packed=True,
-                                 union=False)
-    return fill_holes_split_pallas(kept, reach1, max_size,
-                                   connectivity=connectivity,
-                                   max_iters=max_iters, interpret=interpret)
+    cc_filter_pallas(mode="clean")) with the slow relaxations split onto
+    packed planes, TWO canonical components per pass (see _split2_kernel):
+    the objects pass resolves the border ring and the center-seeded ridge
+    network packed; the hole pass resolves the border-connected background
+    and the walled-off valley network packed (mean 27 / max 58 sweeps on
+    real valley masks, at 1/32nd the data volume). Per-image relaxes only
+    see true specks / genuine small holes."""
+    kept = remove_small_split2_pallas(mask, min_size,
+                                      connectivity=connectivity,
+                                      max_iters=max_iters,
+                                      interpret=interpret)
+    return fill_holes_split2_pallas(kept, max_size,
+                                    connectivity=connectivity,
+                                    max_iters=max_iters, interpret=interpret)
 
 
 def _reconstruct_kernel(marker_ref, mask_ref, out_ref, *, h: int, w: int,

@@ -1099,7 +1099,7 @@ def _binarize_phase2_kernel(kept_ref, reach1_ref, reach2_ref, out_ref,
     @pl.when(jnp.logical_not(fill_all))
     def _run_relax():
         _relax_and_sizes(relax_mask, h, w, 1, cc_iters,
-                         count_ref, lab_ref, sizes_ref)
+                         count_ref, lab_ref, sizes_ref, remnant=True)
 
     sizes2 = sizes_ref[:]
     fill = jnp.logical_and(relax_mask, sizes2 < float(max_size))
@@ -1128,7 +1128,7 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
     the inverted mask (the border-connected valley background is the
     pipeline's slowest relaxation) -> phase 2 (per image) interior-hole
     fill -> packed open/erode/reconstruction tail (pure bitwise)."""
-    from .pallas_cc import (_rle_nhi, _RLE_LO, remove_small_split_pallas,
+    from .pallas_cc import (_rle_nhi, _RLE_LO, remove_small_split2_pallas,
                             center_seed)
     from .pallas_bitpack import (border_reach_packed, reach_packed,
                                  unpack_bits, open_erode_reconstruct_packed)
@@ -1160,9 +1160,12 @@ def binarize_fused_split_pallas(img_eq: jnp.ndarray, win: int = 25,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(img_eq.reshape(b, h, w).astype(jnp.float32))
 
-    kept = remove_small_split_pallas(fg > 0.5, min_size, connectivity=1,
-                                     max_iters=cc_iters,
-                                     interpret=interpret).astype(jnp.float32)
+    # two-plane objects filter: the border-touching Sauvola ring AND the
+    # center-seeded ridge network both resolve bit-packed; only true
+    # specks relax per image (see pallas_cc._split2_kernel)
+    kept = remove_small_split2_pallas(fg > 0.5, min_size, connectivity=1,
+                                      max_iters=cc_iters,
+                                      interpret=interpret).astype(jnp.float32)
 
     inv = kept < 0.5
     reach1 = border_reach_packed(inv, connectivity=1,

@@ -268,6 +268,43 @@ def test_remove_small_split_matches_unsplit(rng, conn):
 
 
 @pytest.mark.parametrize("conn", [1, 2])
+def test_split2_matches_unsplit_walled(rng, conn):
+    """Two-plane split (border-canonical + center-canonical packed legs) ==
+    the one-kernel filters on the walled-off topology it targets: a
+    border-touching fg ring walls an interior network off the border (the
+    post-hull Sauvola structure), plus specks/holes, noise, empty, full."""
+    import jax.numpy as jnp
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        cc_filter_pallas, remove_small_split2_pallas,
+        fill_holes_split2_pallas,
+    )
+    h, w = 32, 64
+    walled = np.zeros((h, w), bool)
+    walled[0:3, :] = walled[-3:, :] = True    # border ring (big fg)
+    walled[:, 0:3] = walled[:, -3:] = True
+    walled[8:24, 10:50] = True                # walled-off center network
+    walled[8:24, 28:32] = False               # valley slot inside it
+    walled[10:12, 30] = True                  # 2-px speck inside the slot
+    walled[26, 6] = True                      # 1-px speck in the moat
+    batch = jnp.asarray(np.stack([
+        walled,
+        rng.random((h, w)) > 0.5,
+        np.zeros((h, w), bool),
+        np.ones((h, w), bool),
+    ]))
+    a = np.asarray(remove_small_split2_pallas(batch, 10, connectivity=conn,
+                                              interpret=True))
+    b = np.asarray(cc_filter_pallas(batch, "remove_small", connectivity=conn,
+                                    min_size=10, interpret=True))
+    np.testing.assert_array_equal(a, b)
+    a = np.asarray(fill_holes_split2_pallas(batch, 25, connectivity=conn,
+                                            interpret=True))
+    b = np.asarray(cc_filter_pallas(batch, "fill_holes", connectivity=conn,
+                                    max_size=25, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("conn", [1, 2])
 def test_clean_mask_split_matches_clean(rng, conn):
     """The 3-leg split clean (small-object relax -> packed border reach ->
     interior-hole relax) is pixel-identical to the one-kernel clean mode on
