@@ -275,6 +275,54 @@ def _runid_lookup(h: int, w: int, count_ref, lab_ref, sizes_ref):
     return sizes_ref[:]
 
 
+def _sliding_sum(x, T: int, axis: int):
+    """Width-T sliding sum along ``axis`` anchored at the trailing edge
+    (out[i] = sum x[i-T+1 .. i], zero-filled past the array edge), via
+    power-of-two shift-add doubling + binary recomposition of T."""
+    pows = [x]
+    width = 1
+    while width * 2 <= T:
+        pows.append(pows[-1] + _shift_no_wrap(pows[-1], width, axis, 0.0))
+        width *= 2
+    acc = None
+    offset = 0
+    for k in range(len(pows) - 1, -1, -1):
+        if T & (1 << k):
+            part = pows[k]
+            if acc is None:
+                acc = part
+            else:
+                acc = acc + _shift_no_wrap(part, offset, axis, 0.0)
+            offset += 1 << k
+    return acc
+
+
+def _all_components_below(mask, h: int, w: int, thresh: int):
+    """Scalar bool: every connected component of ``mask`` has size
+    < ``thresh`` — WITHOUT labeling. Exact sufficient+necessary-free test
+    used as a fast path (False only means \"must label to decide\"):
+
+    max over all thresh x thresh windows of mask mass < thresh
+        ==> every component has size < thresh.
+
+    Proof: a component with >= thresh pixels contains a connected subset
+    of exactly thresh pixels (BFS prefix); its graph diameter is
+    <= thresh-1, so its bounding box side is <= thresh (both 4- and
+    8-connectivity), and the window anchored at the bbox bottom-right
+    corner contains all thresh pixels. Windows are anchored sliding sums
+    with zero fill, so every in-image bbox has its anchored window in
+    range. Much sharper than the total-mass test (which needs the WHOLE
+    remnant below thresh): scattered specks pass as long as no thresh x
+    thresh neighborhood accumulates thresh pixels. Cost ~20 VPU
+    shift-adds; requires thresh <= min(h, w) (callers fall back to the
+    total test otherwise)."""
+    m = mask.astype(jnp.float32)
+    if thresh > min(h, w):
+        return jnp.sum(m) < float(thresh)
+    s = _sliding_sum(_sliding_sum(m, thresh, 1), thresh, 0)
+    return jnp.max(s) < float(thresh)
+
+
 def _relax_and_sizes(fg, h: int, w: int, connectivity: int, max_iters: int,
                      count_ref, lab_ref, sizes_ref, remnant: bool = False):
     """Run-id labeling + per-pixel component-size map (the filter-kernel
@@ -566,13 +614,11 @@ def _fill_holes_split_kernel(mask_ref, reach1_ref, out_ref,
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     inv = jnp.logical_not(kept)
     interior = jnp.logical_and(inv, jnp.logical_not(reach1))
-    # Closed-form fast path: if the TOTAL non-canonical background is
-    # smaller than max_size, every one of its components is too — fill it
-    # all without labeling. The relax then runs on an empty mask (one
-    # sweep, zero table groups). Typical post-clean masks have only a few
-    # interior hole pixels, so this is the common case.
-    tot = jnp.sum(interior.astype(jnp.float32))
-    fill_all = tot < float(max_size)
+    # Closed-form fast path: if no max_size x max_size window of the
+    # non-canonical background accumulates max_size pixels, every one of
+    # its components is below max_size (_all_components_below) — fill it
+    # all without labeling. The relax + tables are then runtime-skipped.
+    fill_all = _all_components_below(interior, h, w, max_size)
     relax_mask = jnp.logical_and(interior, jnp.logical_not(fill_all))
 
     # The relax + table phases only RUN when the fast path misses: under
@@ -677,11 +723,11 @@ def _remove_small_split_kernel(mask_ref, reach1_ref, out_ref,
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
     reach1 = (lax.shift_right_logical(reach1_ref[0], bit) & 1) > 0
     remnant = jnp.logical_and(fg, jnp.logical_not(reach1))
-    # Closed-form fast path (mirror of the hole fill's): if the TOTAL
-    # remnant is smaller than min_size, every remnant component is dropped
-    # without labeling and the relax runs on an empty mask.
-    tot = jnp.sum(remnant.astype(jnp.float32))
-    drop_all = tot < float(min_size)
+    # Closed-form fast path (mirror of the hole fill's): if no min_size x
+    # min_size window of the remnant accumulates min_size pixels, every
+    # remnant component is small (_all_components_below) — drop them all
+    # without labeling; the relax + tables are runtime-skipped.
+    drop_all = _all_components_below(remnant, h, w, min_size)
     relax_mask = jnp.logical_and(remnant, jnp.logical_not(drop_all))
 
     # Runtime skip of the relax + table phases on fast-path hits (see
@@ -770,8 +816,10 @@ def _split2_kernel(mask_ref, reach1_ref, reach2_ref, out_ref,
     work = jnp.logical_not(m) if holes else m
     remnant = jnp.logical_and(work, jnp.logical_not(
         jnp.logical_or(r1, r2)))
-    tot = jnp.sum(remnant.astype(jnp.float32))
-    fast = tot < float(thresh)
+    # sliding-window fast path: no thresh x thresh window of the remnant
+    # reaches thresh pixels => every remnant component is below thresh
+    # (_all_components_below) — decide all of them without labeling
+    fast = _all_components_below(remnant, h, w, thresh)
     relax_mask = jnp.logical_and(remnant, jnp.logical_not(fast))
 
     # Runtime skip of relax + table phases on fast-path hits; stale

@@ -1077,7 +1077,7 @@ def _binarize_phase2_kernel(kept_ref, reach1_ref, reach2_ref, out_ref,
     fill decisions; only genuine small interior holes relax per image.
     The open/erode/reconstruction tail runs bit-packed afterwards
     (pallas_bitpack.open_erode_reconstruct_packed)."""
-    from .pallas_cc import _relax_and_sizes
+    from .pallas_cc import _all_components_below, _relax_and_sizes
 
     kept = kept_ref[0] > 0.5
     bit = (pl.program_id(0) % 32).astype(jnp.int32)
@@ -1086,10 +1086,10 @@ def _binarize_phase2_kernel(kept_ref, reach1_ref, reach2_ref, out_ref,
     inv = jnp.logical_not(kept)
     interior = jnp.logical_and(inv, jnp.logical_not(reach1))
     remnant = jnp.logical_and(interior, jnp.logical_not(reach2))
-    # closed-form fast path (see pallas_cc._fill_holes_split_kernel): total
-    # non-canonical background < max_size -> every component of it is too
-    tot = jnp.sum(remnant.astype(jnp.float32))
-    fill_all = tot < float(max_size)
+    # sliding-window fast path (see pallas_cc._all_components_below): no
+    # max_size x max_size window of the non-canonical background reaches
+    # max_size pixels -> every component of it is below max_size
+    fill_all = _all_components_below(remnant, h, w, max_size)
     relax_mask = jnp.logical_and(remnant, jnp.logical_not(fill_all))
 
     # Runtime skip on fast-path hits (see pallas_cc._fill_holes_split_

@@ -387,3 +387,45 @@ def test_largest_component_majority_matches_oracle(rng, conn):
     best = jnp.argmax(sizes[..., :-1], axis=-1).astype(jnp.int32)
     want = np.asarray(jnp.logical_and(batch, lab == best[..., None, None]))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+def test_window_fast_path_threshold_exact(conn):
+    """The sliding-window fast path (_all_components_below) must not
+    misclassify components AT the threshold: a size-T diagonal staircase
+    (bbox exactly T x T), a size T-1 speck cluster, and scattered specks
+    whose TOTAL far exceeds T but never co-occupy one T x T window (the
+    case the old total-mass fast path always sent to the slow path)."""
+    from multimodal_biometric_fingerprints_palms_tpu.ops.pallas_cc import (
+        cc_filter_pallas, remove_small_split2_pallas,
+        fill_holes_split2_pallas,
+    )
+    h, w, T = 64, 96, 12
+    # exactly-T staircase: 2 px per diagonal step -> bbox (T//2) x (T//2+1)
+    stair = np.zeros((h, w), bool)
+    y0, x0 = 30, 40
+    for k in range(T // 2):
+        stair[y0 + k, x0 + k] = True
+        stair[y0 + k, x0 + k + 1] = True
+    assert stair.sum() == T
+    # scattered specks: 3-px specks on a sparse grid, total >> T, every
+    # T x T window sees at most 2 specks (6 px < T)
+    specks = np.zeros((h, w), bool)
+    for yy in range(4, h - 4, 16):
+        for xx in range(4, w - 4, 16):
+            specks[yy, xx] = specks[yy, xx + 1] = specks[yy + 1, xx] = True
+    assert specks.sum() > 3 * T
+    small = np.zeros((h, w), bool)
+    small[10:13, 10:14] = True          # 12 px = T exactly (bbox 3x4)
+    small[50, 50:50 + T - 1] = True     # T-1 px line
+    batch = jnp.asarray(np.stack([stair, specks, small,
+                                  stair | specks | small]))
+    for mode, fn, kw in [
+        ("remove_small", remove_small_split2_pallas, {}),
+        ("fill_holes", fill_holes_split2_pallas, {}),
+    ]:
+        a = np.asarray(fn(batch, T, connectivity=conn, interpret=True))
+        ckw = {"min_size": T} if mode == "remove_small" else {"max_size": T}
+        b = np.asarray(cc_filter_pallas(batch, mode, connectivity=conn,
+                                        interpret=True, **ckw))
+        np.testing.assert_array_equal(a, b, err_msg=f"{mode} conn={conn}")
